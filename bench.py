@@ -1,0 +1,88 @@
+"""Headline benchmark: free-view 512^2 RGB + semantic-mask synthesis throughput.
+
+Measures steady-state frames/sec of the full flagship pipeline (mapping excluded,
+pose varies every frame — the Painter free-view contract, Painter/run_UI.py:440)
+on whatever accelerator jax exposes, and prints ONE JSON line:
+
+    {"metric": "free_view_512_rgb_seg_fps", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is measured fps / 30 (the driver north star: >=30 fps/chip at 512^2,
+BASELINE.md). Run with --fast for a reduced-step sanity mode.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--num-steps", type=int, default=48,
+                    help="coarse ray steps (hierarchical doubles total)")
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
+    from ide3d_tpu.render.renderer import RenderParams
+    from ide3d_tpu import render
+
+    rp = RenderParams(img_size=64, num_steps=args.num_steps, hierarchical=True)
+    G = Ide3dGenerator(GeneratorConfig(render=rp))
+    params = jax.jit(G.init)(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def frame(params, ws, c):
+        img, seg = G.synthesis(params["synthesis"], ws, c, return_seg=True)
+        return img, seg
+
+    B = args.batch
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, G.cfg.z_dim))
+    c0 = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25))
+    ws = G.mapping(params["mapping"], z, c0)
+
+    # Pre-build a sweep of camera labels (free-view orbit).
+    import math
+
+    cams = []
+    for i in range(args.iters + args.warmup):
+        yaw = math.pi / 2 + 0.5 * math.sin(2 * math.pi * i / 24)
+        c2w = render.look_at_pose(yaw, math.pi / 2, [0.0, 0.0, 0.0], radius=2.7,
+                                  batch_size=B)
+        cams.append(render.make_label_25(c2w))
+
+    # Warmup / compile.
+    for i in range(args.warmup):
+        out = frame(params, ws, cams[i])
+    jax.block_until_ready(out)
+
+    # Per-frame synchronous latency (the Painter interactive contract is
+    # latency-bound; blocking per frame also keeps the number honest on
+    # asynchronous-dispatch backends).
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = frame(params, ws, cams[args.warmup + i])
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    median = sorted(times)[len(times) // 2]
+    fps = B / median
+    result = {
+        "metric": "free_view_512_rgb_seg_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

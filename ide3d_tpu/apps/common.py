@@ -1,0 +1,73 @@
+"""Shared CLI plumbing for the apps layer."""
+
+from __future__ import annotations
+
+import re
+from typing import List, Union
+
+import numpy as np
+
+
+def parse_range(s: Union[str, List[int]]) -> List[int]:
+    """'1,2,5-10' -> [1,2,5,...,10] (CLI contract: gen_images.py:18-32)."""
+    if isinstance(s, list):
+        return s
+    ranges: List[int] = []
+    range_re = re.compile(r"^(\d+)-(\d+)$")
+    for p in s.split(","):
+        m = range_re.match(p)
+        if m:
+            ranges.extend(range(int(m.group(1)), int(m.group(2)) + 1))
+        else:
+            ranges.append(int(p))
+    return ranges
+
+
+def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1), grid=None):
+    """images [N, H, W, C] -> single PNG grid."""
+    import PIL.Image
+
+    lo, hi = drange
+    img = (images - lo) / (hi - lo) * 255.0
+    img = np.rint(img).clip(0, 255).astype(np.uint8)
+    n, h, w, c = img.shape
+    if grid is None:
+        gw = int(np.ceil(np.sqrt(n)))
+        gh = int(np.ceil(n / gw))
+    else:
+        gw, gh = grid
+    canvas = np.zeros((gh * h, gw * w, c), dtype=np.uint8)
+    for i in range(n):
+        y, x = divmod(i, gw)
+        canvas[y * h : (y + 1) * h, x * w : (x + 1) * w] = img[i]
+    if c == 1:
+        canvas = canvas[..., 0]
+    PIL.Image.fromarray(canvas).save(path)
+
+
+def load_generator(network: str):
+    """Load a generator from a native checkpoint dir, or build a fresh one for
+    `random:<seed>` specs (until pretrained weights are importable)."""
+    import jax
+
+    from ..models import GeneratorConfig, Ide3dGenerator
+
+    if network.startswith("random"):
+        seed = int(network.split(":")[1]) if ":" in network else 0
+        G = Ide3dGenerator(GeneratorConfig())
+        # jit the init: one compiled program instead of hundreds of tunneled dispatches
+        params = jax.jit(G.init)(jax.random.PRNGKey(seed))
+        return G, params
+
+    from ..io.checkpoint import load_checkpoint
+
+    params, meta = load_checkpoint(network)
+    cfg_dict = (meta.get("config") or {})
+    cfg_kwargs = {
+        k: v for k, v in cfg_dict.items()
+        if k in GeneratorConfig.__dataclass_fields__ and not isinstance(v, dict)
+    }
+    G = Ide3dGenerator(GeneratorConfig(**cfg_kwargs))
+    if "G_ema" in params:
+        params = params["G_ema"]
+    return G, params

@@ -1,0 +1,336 @@
+"""The IDE-3D generator, rebuilt TPU-native.
+
+Top-level API (behavioral contract, SURVEY.md §2.1, recovered from
+gen_images.py:92-109, apps/train_hybrid_encoder.py:300, inversion/scripts/run_pti.py:170):
+
+    G.mapping(params, z, c, truncation_psi, truncation_cutoff) -> ws [B, 18, 512]
+    G.synthesis(params, ws, c, render_params=..., noise_mode=..., return_seg=False,
+                return_raw=False) -> img | (img, seg) | (img, img_raw)
+
+  * c is the 25-dim label: flattened 4x4 cam2world ++ flattened 3x3 intrinsics,
+  * render_params override fov / num_steps / noise (pose always comes from c),
+  * seg is the 19-channel semantic output, upsampled to img_resolution,
+  * img_raw is the 64^2 neural render (RGB head on the feature image).
+
+w+ latent layout (num_ws = 18, the 8 geometry + 10 appearance split pinned by
+HybridEncoder(n_latents_geo=8, n_latents_app=10) at apps/train_hybrid_encoder.py:208
+and the Painter appearance lock `rec_ws[:, 8:] = w_prev[:, 8:]` at Painter/run_UI.py:198):
+
+    row 0..6   vb4..vb256 modulated convs          (geometry)
+    row 7      shared tri-plane ToRGB/ToSEG head   (geometry)
+    row 8      raw RGB head on the 64^2 feature image   (appearance)
+    rows 9..17 superres: b64(9,10) b128(11,12) b256(13,14) b512(15,16) + final
+               ToRGB(17); intermediate skip ToRGBs share the next block's first row
+               (StyleGAN2 convention, inversion/networks.py:1183-1200)
+
+Structure attributes preserved for tooling parity: `voxel_block_resolutions`,
+`block_resolutions`, `render_size`, `num_ws`, `w_dim`, and `renderer.sample_voxel`
+(extract_shapes.py:110-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..render.renderer import RenderParams, TriplaneRenderer
+from .blocks import SegSynthesisBlock, SynthesisBlock
+from .layers import ToRGBLayer
+from .mapping import MappingNetwork
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    z_dim: int = 512
+    c_dim: int = 25
+    w_dim: int = 512
+    img_resolution: int = 512
+    img_channels: int = 3
+    seg_channels: int = 19
+    feature_channels: int = 32
+    render_size: int = 64
+    plane_resolution: int = 256
+    # channel multipliers, reference StyleGAN2 convention (networks.py:1162-1163)
+    channel_base: int = 32768
+    channel_max: int = 512
+    sr_channel_base: int = 16384
+    sr_channel_max: int = 256
+    dtype: str = "bfloat16"  # compute dtype for conv stacks; accumulators stay fp32
+    render: RenderParams = RenderParams()
+
+    @property
+    def voxel_block_resolutions(self) -> tuple:
+        res, out = [], 4
+        while out <= self.plane_resolution:
+            res.append(out)
+            out *= 2
+        return tuple(res)
+
+    @property
+    def block_resolutions(self) -> tuple:
+        """Superres stack: render_size (refine, no upsample) then x2 up to output."""
+        res, out = [], self.render_size
+        while out <= self.img_resolution:
+            res.append(out)
+            out *= 2
+        return tuple(res)
+
+    def vb_channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    def sr_channels(self, res: int) -> int:
+        return min(self.sr_channel_base // res, self.sr_channel_max)
+
+
+@dataclasses.dataclass(frozen=True)
+class Ide3dSynthesisNetwork:
+    cfg: GeneratorConfig
+
+    # ------------------------------------------------------------------ structure
+
+    @property
+    def voxel_block_resolutions(self):
+        return self.cfg.voxel_block_resolutions
+
+    @property
+    def block_resolutions(self):
+        return self.cfg.block_resolutions
+
+    @property
+    def render_size(self):
+        return self.cfg.render_size
+
+    @property
+    def w_dim(self):
+        return self.cfg.w_dim
+
+    @property
+    def num_ws(self) -> int:
+        # 7 vb convs + 1 shared plane head + 1 raw-RGB head
+        # + 2 convs per superres block + 1 final ToRGB
+        return len(self.voxel_block_resolutions) + 2 + 2 * len(self.block_resolutions) + 1
+
+    @property
+    def num_ws_geo(self) -> int:
+        return len(self.voxel_block_resolutions) + 1  # 8
+
+    @property
+    def renderer(self) -> TriplaneRenderer:
+        return TriplaneRenderer(
+            feature_channels=self.cfg.feature_channels, seg_channels=self.cfg.seg_channels
+        )
+
+    def _vb_block(self, i: int, res: int) -> SegSynthesisBlock:
+        cfg = self.cfg
+        return SegSynthesisBlock(
+            in_channels=0 if i == 0 else cfg.vb_channels(res // 2),
+            out_channels=cfg.vb_channels(res),
+            w_dim=cfg.w_dim,
+            resolution=res,
+            img_plane_channels=3 * cfg.feature_channels,
+            seg_plane_channels=3 * cfg.seg_channels,
+            up=1 if i == 0 else 2,
+            dtype=cfg.dtype,
+        )
+
+    def _sr_block(self, i: int, res: int) -> SynthesisBlock:
+        cfg = self.cfg
+        in_ch = cfg.feature_channels if i == 0 else cfg.sr_channels(res // 2)
+        return SynthesisBlock(
+            in_channels=in_ch,
+            out_channels=cfg.sr_channels(res),
+            w_dim=cfg.w_dim,
+            resolution=res,
+            img_channels=cfg.img_channels,
+            up=1 if i == 0 else 2,
+            dtype=cfg.dtype,
+        )
+
+    def _raw_rgb(self) -> ToRGBLayer:
+        return ToRGBLayer(self.cfg.feature_channels, self.cfg.img_channels, self.cfg.w_dim)
+
+    # ----------------------------------------------------------------------- init
+
+    def init(self, key: jax.Array) -> dict:
+        cfg = self.cfg
+        n_vb = len(self.voxel_block_resolutions)
+        n_sr = len(self.block_resolutions)
+        keys = jax.random.split(key, n_vb + n_sr + 2)
+        params = {}
+        for i, res in enumerate(self.voxel_block_resolutions):
+            params[f"vb{res}"] = self._vb_block(i, res).init(keys[i])
+        params["renderer"] = self.renderer.init(keys[n_vb])
+        params["raw_rgb"] = self._raw_rgb().init(keys[n_vb + 1])
+        for i, res in enumerate(self.block_resolutions):
+            params[f"b{res}"] = self._sr_block(i, res).init(keys[n_vb + 2 + i])
+        return params
+
+    # -------------------------------------------------------------------- forward
+
+    def generate_planes(
+        self,
+        params: dict,
+        ws: jax.Array,  # [B, num_ws, w_dim]
+        noise_mode: str = "const",
+        noise_key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Run the vb stack: geometry rows of ws -> (img_v, seg_v) plane stacks."""
+        n_vb = len(self.voxel_block_resolutions)
+        w_planes = ws[:, n_vb]  # shared head row (= row 7)
+        x = img_v = seg_v = None
+        for i, res in enumerate(self.voxel_block_resolutions):
+            nk = None
+            if noise_key is not None:
+                nk = jax.random.fold_in(noise_key, i)
+            ws2 = jnp.stack([ws[:, i], w_planes], axis=1)
+            x, img_v, seg_v = self._vb_block(i, res)(
+                params[f"vb{res}"], x, img_v, ws2,
+                condition_img=seg_v, noise_mode=noise_mode, noise_key=nk,
+            )
+        return img_v, seg_v
+
+    def superresolve(
+        self,
+        params: dict,
+        feature: jax.Array,  # [B, render, render, feature_channels]
+        img_raw: jax.Array,  # [B, render, render, 3] fp32
+        ws: jax.Array,
+        noise_mode: str = "const",
+        noise_key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        n_vb = len(self.voxel_block_resolutions)
+        x, img = feature, img_raw
+        base = n_vb + 2  # first superres conv row (= 9)
+        for i, res in enumerate(self.block_resolutions):
+            nk = None
+            if noise_key is not None:
+                nk = jax.random.fold_in(noise_key, 100 + i)
+            r0 = base + 2 * i
+            ws3 = jnp.stack([ws[:, r0], ws[:, r0 + 1], ws[:, min(r0 + 2, self.num_ws - 1)]], axis=1)
+            x, img = self._sr_block(i, res)(
+                params[f"b{res}"], x, img, ws3, noise_mode=noise_mode, noise_key=nk
+            )
+        return img
+
+    def __call__(
+        self,
+        params: dict,
+        ws: jax.Array,  # [B, num_ws, w_dim]
+        c: jax.Array,  # [B, 25]
+        render_params: Optional[RenderParams] = None,
+        noise_mode: str = "const",
+        rng: Optional[jax.Array] = None,
+        return_seg: bool = False,
+        return_raw: bool = False,
+        return_all: bool = False,
+    ):
+        cfg = self.cfg
+        rp = render_params or cfg.render
+        assert rp.img_size == cfg.render_size
+
+        noise_key = render_key = None
+        if rng is not None:
+            noise_key, render_key = jax.random.split(rng)
+        if noise_mode != "random":
+            noise_key = None
+
+        img_v, seg_v = self.generate_planes(params, ws, noise_mode, noise_key)
+
+        cam2world = c[:, :16].reshape(-1, 4, 4).astype(jnp.float32)
+        rout = self.renderer.render(
+            params["renderer"], img_v, seg_v, cam2world, rp, key=render_key
+        )
+
+        n_vb = len(self.voxel_block_resolutions)
+        img_raw = self._raw_rgb()(
+            params["raw_rgb"], rout["feature"].astype(jnp.dtype(cfg.dtype)), ws[:, n_vb + 1]
+        ).astype(jnp.float32)
+
+        img = self.superresolve(
+            params, rout["feature"], img_raw, ws, noise_mode, noise_key
+        )
+
+        if return_all:
+            seg = self._upsample_seg(rout["seg"])
+            return {
+                "img": img,
+                "img_raw": img_raw,
+                "seg": seg,
+                "seg_raw": rout["seg"],
+                "depth": rout["depth"],
+                "weights_sum": rout["weights_sum"],
+            }
+        if return_seg:
+            return img, self._upsample_seg(rout["seg"])
+        if return_raw:
+            return img, img_raw
+        return img
+
+    def _upsample_seg(self, seg_raw: jax.Array) -> jax.Array:
+        B, h, w, C = seg_raw.shape
+        R = self.cfg.img_resolution
+        if h == R:
+            return seg_raw
+        return jax.image.resize(seg_raw, (B, R, R, C), method="bilinear")
+
+
+@dataclasses.dataclass(frozen=True)
+class Ide3dGenerator:
+    """mapping + synthesis bundle; params = {'mapping': ..., 'synthesis': ...}."""
+
+    cfg: GeneratorConfig
+
+    @property
+    def synthesis(self) -> Ide3dSynthesisNetwork:
+        return Ide3dSynthesisNetwork(self.cfg)
+
+    @property
+    def mapping(self) -> MappingNetwork:
+        return MappingNetwork(
+            z_dim=self.cfg.z_dim,
+            c_dim=self.cfg.c_dim,
+            w_dim=self.cfg.w_dim,
+            num_ws=self.synthesis.num_ws,
+        )
+
+    @property
+    def num_ws(self) -> int:
+        return self.synthesis.num_ws
+
+    @property
+    def z_dim(self) -> int:
+        return self.cfg.z_dim
+
+    @property
+    def c_dim(self) -> int:
+        return self.cfg.c_dim
+
+    @property
+    def w_dim(self) -> int:
+        return self.cfg.w_dim
+
+    @property
+    def img_resolution(self) -> int:
+        return self.cfg.img_resolution
+
+    def init(self, key: jax.Array) -> dict:
+        km, ks = jax.random.split(key)
+        return {"mapping": self.mapping.init(km), "synthesis": self.synthesis.init(ks)}
+
+    def __call__(
+        self,
+        params: dict,
+        z: jax.Array,
+        c: jax.Array,
+        truncation_psi: float = 1.0,
+        truncation_cutoff: Optional[int] = None,
+        **synthesis_kwargs,
+    ):
+        ws = self.mapping(
+            params["mapping"], z, c,
+            truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
+        )
+        return self.synthesis(params["synthesis"], ws, c, **synthesis_kwargs)

@@ -1,0 +1,154 @@
+"""Bilinear grid sampling + tri-plane / 3D-grid feature lookup.
+
+This is the volume renderer's hot primitive. Reference contracts:
+  * 2D bilinear sampling with zeros padding, align_corners=False
+    (torch_utils/ops/grid_sample_gradfix.py:26-29),
+  * `sample_from_2dgrid` / `sample_from_triplane` (dnnlib/util.py:603,580):
+    tri-plane feature = xy-plane + yz-plane + xz-plane samples, summed,
+  * `sample_from_3dgrid` (dnnlib/util.py:561): trilinear, align_corners=True.
+
+TPU design: point sampling is a gather, not a conv. We flatten the spatial grid and
+use `jnp.take_along_axis` over a `[B, H*W, C]` view — XLA lowers this to a dynamic
+gather whose minor dimension (C) stays on the 128-lane axis. Out-of-range corners are
+masked (zeros padding) rather than clamped. JAX autodiff provides arbitrary-order
+gradients for free, which is what the reference's gradfix machinery existed to fix.
+
+A fused Pallas kernel for the full 52-channel tri-plane gather + ray-march lives in
+`ide3d_tpu/ops/pallas/`; this module is the reference implementation it is tested
+against (the `impl='ref'` pattern of the reference op layer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coords: jax.Array, size: int, align_corners: bool) -> jax.Array:
+    """Map [-1, 1] to pixel coordinates (torch grid_sample convention)."""
+    if align_corners:
+        return (coords + 1.0) * 0.5 * (size - 1)
+    return ((coords + 1.0) * size - 1.0) * 0.5
+
+
+def grid_sample_2d(
+    image: jax.Array,  # [B, H, W, C]
+    coords: jax.Array,  # [B, N, 2], (x, y) in [-1, 1]; x indexes W, y indexes H
+    align_corners: bool = False,
+) -> jax.Array:
+    """Bilinear point sampling with zeros padding. Returns [B, N, C]."""
+    B, H, W, C = image.shape
+    x = _unnormalize(coords[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(coords[..., 1].astype(jnp.float32), H, align_corners)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = image.reshape(B, H * W, C)
+
+    def corner(xi, yi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        idx = yc * W + xc  # [B, N]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+        return vals * valid[..., None].astype(image.dtype)
+
+    v00 = corner(x0i, y0i)
+    v01 = corner(x0i + 1, y0i)
+    v10 = corner(x0i, y0i + 1)
+    v11 = corner(x0i + 1, y0i + 1)
+
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def grid_sample_3d(
+    volume: jax.Array,  # [B, D, H, W, C]
+    coords: jax.Array,  # [B, N, 3], (x, y, z) in [-1, 1]; x->W, y->H, z->D
+    align_corners: bool = True,
+) -> jax.Array:
+    """Trilinear point sampling with zeros padding. Returns [B, N, C]."""
+    B, D, H, W, C = volume.shape
+    x = _unnormalize(coords[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(coords[..., 1].astype(jnp.float32), H, align_corners)
+    z = _unnormalize(coords[..., 2].astype(jnp.float32), D, align_corners)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    wx = (x - x0)[..., None].astype(volume.dtype)
+    wy = (y - y0)[..., None].astype(volume.dtype)
+    wz = (z - z0)[..., None].astype(volume.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    flat = volume.reshape(B, D * H * W, C)
+
+    def corner(xi, yi, zi):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H) & (zi >= 0) & (zi < D)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        zc = jnp.clip(zi, 0, D - 1)
+        idx = (zc * H + yc) * W + xc
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return vals * valid[..., None].astype(volume.dtype)
+
+    c000 = corner(x0i, y0i, z0i)
+    c100 = corner(x0i + 1, y0i, z0i)
+    c010 = corner(x0i, y0i + 1, z0i)
+    c110 = corner(x0i + 1, y0i + 1, z0i)
+    c001 = corner(x0i, y0i, z0i + 1)
+    c101 = corner(x0i + 1, y0i, z0i + 1)
+    c011 = corner(x0i, y0i + 1, z0i + 1)
+    c111 = corner(x0i + 1, y0i + 1, z0i + 1)
+
+    c00 = c000 + (c100 - c000) * wx
+    c10 = c010 + (c110 - c010) * wx
+    c01 = c001 + (c101 - c001) * wx
+    c11 = c011 + (c111 - c011) * wx
+    c0 = c00 + (c10 - c00) * wy
+    c1 = c01 + (c11 - c01) * wy
+    return c0 + (c1 - c0) * wz
+
+
+def sample_from_2dgrid(coords: jax.Array, grid: jax.Array) -> jax.Array:
+    """[B, N, 2] coords, [B, H, W, C] grid -> [B, N, C].
+
+    Contract: dnnlib/util.py:603-617 (bilinear, zeros, align_corners=False via the
+    gradfix grid_sample).
+    """
+    return grid_sample_2d(grid, coords, align_corners=False)
+
+
+def sample_from_triplane(coords: jax.Array, planes: jax.Array) -> jax.Array:
+    """Tri-plane feature lookup (contract: dnnlib/util.py:580-600).
+
+    coords: [B, N, 3] in [-1, 1]; planes: [B, H, W, 3*C] (xy | yz | xz stacked on the
+    channel axis — channels-last analogue of the reference's [B, 3*C, H, W]).
+    Returns [B, N, C] = xy(x,y) + yz(y,z) + xz(x,z).
+    """
+    B, H, W, C3 = planes.shape
+    assert C3 % 3 == 0
+    C = C3 // 3
+    xy, yz, xz = planes[..., :C], planes[..., C : 2 * C], planes[..., 2 * C :]
+    f_xy = grid_sample_2d(xy, coords[..., jnp.array([0, 1])], align_corners=False)
+    f_yz = grid_sample_2d(yz, coords[..., jnp.array([1, 2])], align_corners=False)
+    f_xz = grid_sample_2d(xz, coords[..., jnp.array([0, 2])], align_corners=False)
+    return f_xy + f_yz + f_xz
+
+
+def sample_from_3dgrid(coords: jax.Array, grid: jax.Array) -> jax.Array:
+    """[B, N, 3] coords, [B, D, H, W, C] grid -> [B, N, C].
+
+    Contract: dnnlib/util.py:561-578 (trilinear, zeros, align_corners=True).
+    """
+    return grid_sample_3d(grid, coords, align_corners=True)

@@ -1,0 +1,64 @@
+"""Device mesh + sharding rules — ALL parallelism in the framework flows through here.
+
+This replaces the reference's entire distributed stack (DDP over gloo for encoder
+training apps/train_hybrid_encoder.py:45-50, NCCL for metrics calc_metrics.py:33-40,
+rank-sharded InfiniteSampler torch_utils/misc.py:111, grad-sync gating misc.py:172):
+one `jax.sharding.Mesh`, batch sharded over the 'data' axis, parameters replicated,
+XLA inserting the all-reduces. Collectives ride ICI; a second 'slice' axis can be
+added for multi-slice DCN scale-out without touching call sites.
+
+The model (~30M params) needs no tensor/pipeline parallelism; throughput scaling is
+pure DP, and within a chip the renderer's ray dimension is the parallel axis
+(handled by XLA tiling / the Pallas ray-march kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D data-parallel mesh by default; pass axis_names=('slice','data') with a 2-D
+    device array for multi-slice."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    arr = np.array(devices)
+    if len(axis_names) > 1:
+        raise NotImplementedError("multi-axis meshes: reshape devices explicitly")
+    return Mesh(arr, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest."""
+    spec = [None] * ndim
+    spec[0] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a host pytree so dim 0 is split across the mesh."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim, axis)), tree
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (parameters / optimizer state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
+    n = mesh.shape[axis]
+    assert global_batch % n == 0, f"batch {global_batch} not divisible by mesh axis {n}"
+    return global_batch // n

@@ -1,0 +1,131 @@
+"""Volumetric compositing + hierarchical importance sampling.
+
+Reference contracts (training/volumetric_rendering.py):
+  * `fancy_integration` (:34-74): alpha compositing with per-step deltas scaled by
+    |ray_d|, infinite last delta, optional density noise, softplus/relu sigma clamp,
+    exclusive-cumprod transmittance, optional last_back / white_back / max_depth fill,
+  * `sample_pdf` (:224-265): inverse-CDF sampling of N_importance new depths from the
+    coarse weights.
+
+TPU design notes: everything is static-shape jnp; `searchsorted` is replaced by a
+branch-free comparison-matrix formulation (S_coarse is small, <=96, so the O(S*N)
+comparison tensor is tiny and VPU-friendly — no sorted-gather scatter patterns).
+Compositing runs in fp32 regardless of feature dtype for numerical robustness.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def integrate_rays(
+    feats_sigma: jax.Array,  # [B, R, S, C+1]; last channel = raw sigma
+    rays_d_cam: jax.Array,  # [B, R, 3] camera-space ray directions (for delta scaling)
+    z_vals: jax.Array,  # [B, R, S, 1]
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.0,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "softplus",
+    max_depth: Optional[float] = None,
+    fill_mode: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """NeRF alpha compositing (contract: volumetric_rendering.py:34-74).
+
+    Returns (features [B,R,C], depth [B,R,1], weights [B,R,S,1]).
+    """
+    feats = feats_sigma[..., :-1].astype(jnp.float32)
+    sigmas = feats_sigma[..., -1:].astype(jnp.float32)
+    z_vals = z_vals.astype(jnp.float32)
+
+    deltas = z_vals[:, :, 1:] - z_vals[:, :, :-1]  # [B,R,S-1,1]
+    ray_norm = jnp.linalg.norm(rays_d_cam.astype(jnp.float32), axis=-1, keepdims=True)
+    deltas = deltas * ray_norm[:, :, None, :]
+    delta_inf = jnp.full_like(deltas[:, :, :1], 1e10)
+    deltas = jnp.concatenate([deltas, delta_inf], axis=-2)  # [B,R,S,1]
+
+    if noise_key is not None and noise_std > 0:
+        sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape) * noise_std
+
+    if clamp_mode == "softplus":
+        density = jax.nn.softplus(sigmas)
+    elif clamp_mode == "relu":
+        density = jax.nn.relu(sigmas)
+    else:
+        raise ValueError("clamp_mode must be 'softplus' or 'relu'")
+
+    alphas = 1.0 - jnp.exp(-deltas * density)  # [B,R,S,1]
+    # Exclusive cumulative product of (1 - alpha): transmittance before each sample.
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alphas[:, :, :1]), 1.0 - alphas + 1e-10], axis=-2
+    )
+    transmittance = jnp.cumprod(shifted, axis=-2)[:, :, :-1]
+    weights = alphas * transmittance  # [B,R,S,1]
+    weights_sum = weights.sum(axis=-2)  # [B,R,1]
+
+    if last_back:
+        weights = weights.at[:, :, -1].add(1.0 - weights_sum)
+
+    out = jnp.sum(weights * feats, axis=-2)  # [B,R,C]
+    depth = jnp.sum(weights * z_vals, axis=-2)  # [B,R,1]
+
+    if white_back:
+        out = out + (1.0 - weights_sum)
+    if max_depth is not None:
+        depth = depth + (1.0 - weights_sum) * max_depth
+    if fill_mode == "weight":
+        out = jnp.broadcast_to(weights_sum, out.shape)
+
+    return out, depth, weights
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jax.Array,  # [R, S+1] bin edges
+    weights: jax.Array,  # [R, S] coarse weights
+    n_importance: int,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Inverse-CDF importance sampling (contract: volumetric_rendering.py:224-265).
+
+    Returns [R, n_importance] new sample depths. `det=True` (or key=None) uses a
+    uniform linspace of CDF positions, matching the reference's deterministic mode.
+
+    Instead of searchsorted+gather, the bin index is found with a comparison matrix:
+    inds[r, j] = sum_s (cdf[r, s] < u[r, j]) — identical to
+    `torch.searchsorted(cdf, u)` (right-open), but lowered to a single masked
+    reduction that the VPU executes in registers.
+    """
+    R, S = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [R, S+1]
+
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, n_importance)
+        u = jnp.broadcast_to(u[None], (R, n_importance))
+    else:
+        u = jax.random.uniform(key, (R, n_importance))
+
+    # searchsorted(cdf, u, side='left'): number of cdf entries strictly below u.
+    # (torch.searchsorted default right=False returns first index where cdf >= u,
+    #  i.e. count of entries < u.)
+    comp = (cdf[:, None, :] < u[:, :, None]).astype(jnp.int32)  # [R, N, S+1]
+    inds = comp.sum(axis=-1)  # [R, N]
+    below = jnp.clip(inds - 1, 0, S)
+    above = jnp.clip(inds, 0, S)
+
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
+    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_g1 - cdf_g0
+    denom = jnp.where(denom < eps, 1.0, denom)
+    t = (u - cdf_g0) / denom
+    return bins_g0 + t * (bins_g1 - bins_g0)

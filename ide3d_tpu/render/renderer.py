@@ -1,0 +1,195 @@
+"""Tri-plane volume renderer: the `G.synthesis.renderer` of the rebuilt generator.
+
+Behavioral contract (recovered from the pickled generator's call sites, SURVEY.md §2.1):
+  * `sample_voxel(img_v, seg_v, coords[B,N,3]) -> [B,N,52]` = 32 feature channels ++
+    19 semantic channels ++ 1 density (sigma LAST) — extract_shapes.py:146-147,
+    inversion/utils/models_utils.py:104-105,
+  * pi-GAN-style rendering: stratified coarse pass, hierarchical importance pass via
+    `sample_pdf`, alpha compositing of features and semantics along the SAME weights
+    (training/volumetric_rendering.py:34-74,224-265),
+  * ray segment [2.25, 3.3], fov 18 deg, camera radius 2.7, render_size 64, 96 steps
+    (gen_images.py:96-103, extract_shapes.py:133-136).
+
+TPU design:
+  * planes are channels-last `[B, res, res, 3*C]`; the gather runs over a flattened
+    spatial view with the channel axis on the 128-lane dimension (ops/grid_sample.py),
+  * the sigma/feature decoder is a tiny 2-layer MLP applied to the summed tri-plane
+    features — one [B*R*S, 32]x[32, 64] matmul pair, ideal MXU shape once rays are
+    flattened,
+  * both passes evaluate all rays of the batch in one call — no python chunk loop at
+    render resolution (the reference chunks with max_batch only for the 512^3 sigma
+    grid; we expose `sample_voxel` for that use case and `lax.map` chunking in
+    apps/extract_shapes),
+  * everything is static-shape; hierarchical sampling doubles the sample axis
+    statically (S -> 2S) and sorts with a single argsort+gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.bias_act import bias_act
+from ..ops.grid_sample import sample_from_triplane
+from .camera import get_initial_rays, perturb_z_vals, transform_rays_to_world
+from .integration import integrate_rays, sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderParams:
+    """Static rendering configuration (the reference's `render_params` dict,
+    gen_images.py:96-103). Pose comes from the cam2world matrix, not from
+    h_mean/v_mean — callers sample poses explicitly with render.camera utilities."""
+
+    img_size: int = 64
+    num_steps: int = 48  # coarse steps; hierarchical adds the same again
+    fov: float = 18.0
+    ray_start: float = 2.25
+    ray_end: float = 3.3
+    hierarchical: bool = True
+    clamp_mode: str = "softplus"
+    nerf_noise: float = 0.0
+    last_back: bool = False
+    white_back: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TriplaneRenderer:
+    """Static module; params are a dict pytree created by `init`."""
+
+    feature_channels: int = 32
+    seg_channels: int = 19
+    decoder_hidden: int = 64
+    # coords scale: world coords are multiplied by this before plane lookup; the
+    # reference samples the [-1,1] tri-plane cube directly with world coordinates
+    # (extract_shapes.py:103 scales the probe cube by 0.9 only for shape export).
+    coord_scale: float = 1.0
+
+    @property
+    def out_channels(self) -> int:
+        return self.feature_channels + self.seg_channels + 1  # 52
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        c, h = self.feature_channels, self.decoder_hidden
+        # He-style init; equalized-lr scaling is applied at call time (StyleGAN
+        # convention, inversion/networks.py:136-165).
+        return {
+            "dec_w1": jax.random.normal(k1, (c, h), dtype=jnp.float32),
+            "dec_b1": jnp.zeros((h,), dtype=jnp.float32),
+            "dec_w2": jax.random.normal(k2, (h, c + 1), dtype=jnp.float32),
+            "dec_b2": jnp.zeros((c + 1,), dtype=jnp.float32),
+        }
+
+    # ------------------------------------------------------------------ sampling
+
+    def decode_features(self, params: dict, feat: jax.Array) -> jax.Array:
+        """[..., 32] tri-plane features -> [..., 33] (32 features ++ sigma)."""
+        c, h = self.feature_channels, self.decoder_hidden
+        w1 = params["dec_w1"].astype(feat.dtype) * (1.0 / jnp.sqrt(jnp.float32(c)).astype(feat.dtype))
+        w2 = params["dec_w2"].astype(feat.dtype) * (1.0 / jnp.sqrt(jnp.float32(h)).astype(feat.dtype))
+        x = feat @ w1
+        x = bias_act(x, params["dec_b1"].astype(feat.dtype), act="lrelu")
+        x = x @ w2 + params["dec_b2"].astype(feat.dtype)
+        return x
+
+    def sample_voxel(
+        self, params: dict, img_v: jax.Array, seg_v: jax.Array, coords: jax.Array
+    ) -> jax.Array:
+        """Contract: extract_shapes.py:146. coords [B,N,3] world -> [B,N,52],
+        layout [feat(32) | seg(19) | sigma(1)]."""
+        coords = coords * self.coord_scale
+        feat = sample_from_triplane(coords, img_v)  # [B,N,32]
+        seg = sample_from_triplane(coords, seg_v)  # [B,N,19]
+        decoded = self.decode_features(params, feat)  # [B,N,33]
+        return jnp.concatenate(
+            [decoded[..., : self.feature_channels], seg, decoded[..., -1:]], axis=-1
+        )
+
+    # ----------------------------------------------------------------- rendering
+
+    def render(
+        self,
+        params: dict,
+        img_v: jax.Array,  # [B, res, res, 3*32]
+        seg_v: jax.Array,  # [B, res, res, 3*19]
+        cam2world: jax.Array,  # [B, 4, 4]
+        rp: RenderParams,
+        key: Optional[jax.Array] = None,
+    ) -> dict:
+        """Volume-render feature image + semantics + depth at rp.img_size.
+
+        Returns dict(feature [B,H,W,32], seg [B,H,W,19], depth [B,H,W,1],
+        weights_sum [B,H,W,1]).
+        """
+        B = img_v.shape[0]
+        S = rp.num_steps
+        W = H = rp.img_size
+        Rr = W * H
+
+        k_perturb = k_noise = k_fine = None
+        if key is not None:
+            k_perturb, k_noise, k_fine = jax.random.split(key, 3)
+
+        points_cam, z_vals, rays_d_cam = get_initial_rays(
+            B, S, (W, H), rp.fov, rp.ray_start, rp.ray_end
+        )
+        if k_perturb is not None:
+            points_cam, z_vals = perturb_z_vals(k_perturb, points_cam, z_vals, rays_d_cam)
+
+        pts, dirs, origins = transform_rays_to_world(points_cam, rays_d_cam, cam2world)
+
+        coarse = self.sample_voxel(params, img_v, seg_v, pts.reshape(B, Rr * S, 3))
+        coarse = coarse.reshape(B, Rr, S, self.out_channels)
+
+        if rp.hierarchical:
+            # Weights-only coarse pass.
+            _, _, weights = integrate_rays(
+                coarse,
+                rays_d_cam,
+                z_vals,
+                noise_key=k_noise,
+                noise_std=rp.nerf_noise,
+                clamp_mode=rp.clamp_mode,
+            )
+            w_flat = weights.reshape(B * Rr, S)[:, 1:-1]
+            z_flat = z_vals.reshape(B * Rr, S)
+            z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+            fine_z = sample_pdf(k_fine, z_mid, w_flat, S, det=(key is None))
+            fine_z = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
+
+            fine_pts = origins[:, :, None, :] + dirs[:, :, None, :] * fine_z
+            fine = self.sample_voxel(params, img_v, seg_v, fine_pts.reshape(B, Rr * S, 3))
+            fine = fine.reshape(B, Rr, S, self.out_channels)
+
+            all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,2S,1]
+            all_out = jnp.concatenate([coarse, fine], axis=-2)
+            order = jnp.argsort(all_z, axis=-2)
+            all_z = jnp.take_along_axis(all_z, order, axis=-2)
+            all_out = jnp.take_along_axis(
+                all_out, jnp.broadcast_to(order, all_out.shape), axis=-2
+            )
+        else:
+            all_z, all_out = z_vals, coarse
+
+        comp, depth, weights = integrate_rays(
+            all_out,
+            rays_d_cam,
+            all_z,
+            noise_key=k_noise,
+            noise_std=rp.nerf_noise,
+            clamp_mode=rp.clamp_mode,
+            last_back=rp.last_back,
+            white_back=rp.white_back,
+        )
+
+        fc = self.feature_channels
+        return {
+            "feature": comp[..., :fc].reshape(B, H, W, fc),
+            "seg": comp[..., fc:].reshape(B, H, W, self.seg_channels),
+            "depth": depth.reshape(B, H, W, 1),
+            "weights_sum": weights.sum(axis=-2).reshape(B, H, W, 1),
+        }

@@ -1,0 +1,224 @@
+"""Model family tests: shapes, latent-layout contracts, style-mixing semantics,
+gradient flow, and the G/D/E API surface (SURVEY.md §2.1/§2.2)."""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ide3d_tpu import render
+from ide3d_tpu.models import (
+    Discriminator,
+    DiscriminatorConfig,
+    Encoder,
+    GeneratorConfig,
+    HybridEncoder,
+    Ide3dGenerator,
+    MappingNetwork,
+    MultiViewHybridEncoder,
+)
+from ide3d_tpu.render.renderer import RenderParams
+
+
+def tiny_cfg(**kw):
+    """A scaled-down generator that keeps the full structure (7 vb blocks would need
+    plane_resolution 256; the tiny config uses 32 -> 4 vb blocks, img 64)."""
+    base = dict(
+        img_resolution=64,
+        render_size=16,
+        plane_resolution=32,
+        channel_base=2048,
+        channel_max=64,
+        sr_channel_base=1024,
+        sr_channel_max=32,
+        feature_channels=8,
+        dtype="float32",
+        render=RenderParams(img_size=16, num_steps=8, hierarchical=True),
+    )
+    base.update(kw)
+    return GeneratorConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def tiny_G():
+    G = Ide3dGenerator(tiny_cfg())
+    params = G.init(jax.random.PRNGKey(0))
+    return G, params
+
+
+def canonical_c(batch=1):
+    return jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (batch, 25))
+
+
+# ----------------------------------------------------------------------- mapping
+
+
+def test_mapping_shapes_and_truncation():
+    m = MappingNetwork(z_dim=32, c_dim=25, w_dim=64, num_ws=18, num_layers=2)
+    p = m.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    c = canonical_c(4)
+    ws = m(p, z, c)
+    assert ws.shape == (4, 18, 64)
+    # broadcast rows identical
+    np.testing.assert_allclose(np.asarray(ws[:, 0]), np.asarray(ws[:, 5]))
+    # truncation_psi=0 with cutoff collapses head rows to w_avg (zeros at init)
+    ws_t = m(p, z, c, truncation_psi=0.0, truncation_cutoff=14)
+    np.testing.assert_allclose(np.asarray(ws_t[:, :14]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ws_t[:, 14:]), np.asarray(ws[:, 14:]))
+
+
+# --------------------------------------------------------------------- generator
+
+
+def test_full_size_latent_layout():
+    """The production config must reproduce the reference latent contract:
+    num_ws=18, 8 geometry + 10 appearance (apps/train_hybrid_encoder.py:208)."""
+    G = Ide3dGenerator(GeneratorConfig())
+    assert G.num_ws == 18
+    assert G.synthesis.num_ws_geo == 8
+    assert G.synthesis.voxel_block_resolutions == (4, 8, 16, 32, 64, 128, 256)
+    assert G.synthesis.block_resolutions == (64, 128, 256, 512)
+    assert G.synthesis.render_size == 64
+    assert G.w_dim == 512 and G.z_dim == 512 and G.c_dim == 25
+
+
+def test_generator_forward_shapes(tiny_G):
+    G, params = tiny_G
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, G.z_dim))
+    c = canonical_c(2)
+    out = G(params, z, c, return_all=True)
+    R = G.cfg.img_resolution
+    assert out["img"].shape == (2, R, R, 3)
+    assert out["img_raw"].shape == (2, G.cfg.render_size, G.cfg.render_size, 3)
+    assert out["seg"].shape == (2, R, R, 19)
+    assert out["seg_raw"].shape == (2, G.cfg.render_size, G.cfg.render_size, 19)
+    assert out["depth"].shape == (2, G.cfg.render_size, G.cfg.render_size, 1)
+    assert np.isfinite(np.asarray(out["img"])).all()
+
+
+def test_generator_return_variants(tiny_G):
+    G, params = tiny_G
+    ws = G.mapping(params["mapping"], jax.random.normal(jax.random.PRNGKey(2), (1, G.z_dim)), canonical_c(1))
+    img = G.synthesis(params["synthesis"], ws, canonical_c(1))
+    img2, seg = G.synthesis(params["synthesis"], ws, canonical_c(1), return_seg=True)
+    img3, raw = G.synthesis(params["synthesis"], ws, canonical_c(1), return_raw=True)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img3))
+    assert seg.shape[-1] == 19 and raw.shape[1] == G.cfg.render_size
+
+
+def test_geometry_appearance_split(tiny_G):
+    """Style-mixing semantics (apps/demo.py:142-143, Painter/run_UI.py:198):
+    geometry rows drive the semantic output; swapping appearance rows must leave the
+    raw semantic render unchanged."""
+    G, params = tiny_G
+    n_geo = G.synthesis.num_ws_geo
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    ws_a = G.mapping(params["mapping"], jax.random.normal(k1, (1, G.z_dim)), canonical_c(1))
+    ws_b = G.mapping(params["mapping"], jax.random.normal(k2, (1, G.z_dim)), canonical_c(1))
+
+    mixed = jnp.concatenate([ws_a[:, :n_geo], ws_b[:, n_geo:]], axis=1)
+    out_a = G.synthesis(params["synthesis"], ws_a, canonical_c(1), return_all=True)
+    out_m = G.synthesis(params["synthesis"], mixed, canonical_c(1), return_all=True)
+
+    np.testing.assert_allclose(
+        np.asarray(out_a["seg_raw"]), np.asarray(out_m["seg_raw"]), atol=1e-5
+    )
+    # appearance change must alter the RGB
+    assert np.abs(np.asarray(out_a["img"]) - np.asarray(out_m["img"])).max() > 1e-4
+
+
+def test_view_consistency_of_geometry(tiny_G):
+    """Different camera poses share the same planes; seg differs per view but both
+    are finite and in plausible ranges."""
+    G, params = tiny_G
+    ws = G.mapping(params["mapping"], jax.random.normal(jax.random.PRNGKey(4), (1, G.z_dim)), canonical_c(1))
+    for yaw in (-0.5, 0.5):
+        c2w = render.look_at_pose(yaw + math.pi / 2, math.pi / 2, [0.0, 0.0, 0.0], radius=2.7)
+        c = render.make_label_25(c2w)
+        img, seg = G.synthesis(params["synthesis"], ws, c, return_seg=True)
+        assert np.isfinite(np.asarray(img)).all() and np.isfinite(np.asarray(seg)).all()
+
+
+def test_sample_voxel_through_generator(tiny_G):
+    """extract_shapes contract: plane generation + renderer.sample_voxel -> 52ch,
+    sigma last (extract_shapes.py:146-147 with feature_channels=32; tiny uses 8)."""
+    G, params = tiny_G
+    ws = G.mapping(params["mapping"], jax.random.normal(jax.random.PRNGKey(5), (1, G.z_dim)), canonical_c(1))
+    img_v, seg_v = G.synthesis.generate_planes(params["synthesis"], ws)
+    coords = jax.random.uniform(jax.random.PRNGKey(6), (1, 64, 3), minval=-0.3, maxval=0.3)
+    out = G.synthesis.renderer.sample_voxel(params["synthesis"]["renderer"], img_v, seg_v, coords)
+    fc = G.cfg.feature_channels
+    assert out.shape == (1, 64, fc + 19 + 1)
+
+
+def test_generator_grad_flows(tiny_G):
+    G, params = tiny_G
+
+    def loss_fn(p):
+        ws = G.mapping(p["mapping"], jnp.ones((1, G.z_dim)), canonical_c(1))
+        img = G.synthesis(p["synthesis"], ws, canonical_c(1))
+        return jnp.mean(jnp.square(img))
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # vb conv weights must receive gradient (geometry path reaches the image)
+    g = np.asarray(grads["synthesis"]["vb4"]["conv"]["weight"])
+    assert np.abs(g).max() > 0
+
+
+# ------------------------------------------------------------------ discriminator
+
+
+def test_discriminator_shapes():
+    D = Discriminator(DiscriminatorConfig(img_resolution=64, img_channels=6,
+                                          channel_base=2048, channel_max=64, dtype="float32"))
+    p = D.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 6))
+    logits = D(p, img, canonical_c(4))
+    assert logits.shape == (4, 1)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_discriminator_unconditional():
+    D = Discriminator(DiscriminatorConfig(c_dim=0, img_resolution=32, img_channels=3,
+                                          channel_base=1024, channel_max=32, dtype="float32"))
+    p = D.init(jax.random.PRNGKey(0))
+    logits = D(p, jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)), None)
+    assert logits.shape == (2, 1)
+
+
+# ----------------------------------------------------------------------- encoders
+
+
+def test_hybrid_encoder_latent_split():
+    E = HybridEncoder(size=64, n_latents_app=10, n_latents_geo=8, w_dim=32)
+    p = E.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    seg = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 19))
+    ws = E(p, img, seg)
+    assert ws.shape == (2, 18, 32)
+    # geometry rows must not depend on the image stream
+    ws2 = E(p, img * 0 + 1.0, seg)
+    np.testing.assert_allclose(np.asarray(ws[:, :8]), np.asarray(ws2[:, :8]), atol=1e-6)
+    assert np.abs(np.asarray(ws[:, 8:]) - np.asarray(ws2[:, 8:])).max() > 1e-6
+
+
+def test_single_stream_encoder():
+    E = Encoder(size=32, n_latents=18, w_dim=16)
+    p = E.init(jax.random.PRNGKey(0))
+    out = E(p, jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3)))
+    assert out.shape == (3, 18, 16)
+
+
+def test_multiview_encoder():
+    E = MultiViewHybridEncoder(size=32, n_latents_app=10, n_latents_geo=8, w_dim=16, num_view=3)
+    p = E.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (6, 32, 32, 3))  # V*B = 3*2
+    seg = jax.random.normal(jax.random.PRNGKey(2), (6, 32, 32, 19))
+    ws = E(p, img, seg)
+    assert ws.shape == (2, 18, 16)
