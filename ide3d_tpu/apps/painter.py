@@ -1,0 +1,128 @@
+"""Painter backend: the interactive semantic-mask editing loop.
+
+Reference product loop (Painter/run_UI.py:167-206 `run_deep_model`): per brush
+stroke / slider move —
+  1. one-hot the edited 19-class mask, scale to {-1, 1} (:170-174),
+  2. render the current appearance: gen_img = G.synthesis(w, cam) (:193),
+  3. re-encode: rec_ws = E(gen_img, edited_seg) + w_avg (:195-196),
+  4. appearance lock: rec_ws[:, 8:] = w_prev[:, 8:] when editing an inversion (:198),
+  5. re-render: fake = G.synthesis(rec_ws, cam) (:199).
+
+That is two full G passes + one E pass per interaction. Here the WHOLE loop is one
+jitted `edit_step` XLA program — no host round trips between the passes, static
+shapes so it never recompiles across strokes, camera pose passed as data. The PyQt
+frontend (or any UI) calls `PainterSession.edit(mask, yaw, pitch)` and gets back
+(image, colorized seg, new latent state).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import render
+from ..models.encoder import HybridEncoder
+from ..models.generator import Ide3dGenerator
+from ..utils.seg import mask2color, mask2onehot
+
+
+def make_edit_step(G: Ide3dGenerator, E: HybridEncoder, lock_appearance: bool = True):
+    """Build the jitted edit step:
+
+    edit_step(g_params, e_params, mask_onehot_pm [1,R,R,19], w_prev [1,18,512],
+              c [1,25]) -> (img [1,R,R,3], seg [1,R,R,19], rec_ws [1,18,512])
+    """
+    n_geo = G.synthesis.num_ws_geo
+
+    @jax.jit
+    def edit_step(g_params, e_params, seg_pm, w_prev, c):
+        gen_img = G.synthesis(g_params["synthesis"], w_prev, c)
+        rec_ws = E(e_params, gen_img, seg_pm)
+        rec_ws = rec_ws + g_params["mapping"]["w_avg"][None, None, :]
+        if lock_appearance:
+            rec_ws = jnp.concatenate([rec_ws[:, :n_geo], w_prev[:, n_geo:]], axis=1)
+        img, seg = G.synthesis(g_params["synthesis"], rec_ws, c, return_seg=True)
+        return img, seg, rec_ws
+
+    return edit_step
+
+
+@dataclasses.dataclass
+class PainterSession:
+    """Stateful host-side session wrapping the jitted edit loop (the Ex class of
+    Painter/run_UI.py:54, minus Qt)."""
+
+    G: Ide3dGenerator
+    E: HybridEncoder
+    g_params: dict
+    e_params: dict
+    w: Optional[jax.Array] = None  # current latent state, carried across edits
+    inversion: bool = False
+
+    def __post_init__(self):
+        self._edit_step = make_edit_step(self.G, self.E, lock_appearance=True)
+        self._edit_step_free = make_edit_step(self.G, self.E, lock_appearance=False)
+
+        @jax.jit
+        def _render(g_params, ws, c):
+            return self.G.synthesis(g_params["synthesis"], ws, c, return_seg=True)
+
+        self._render = _render
+
+    # ------------------------------------------------------------------ latents
+
+    def set_seed(self, seed: int, truncation_psi: float = 0.7):
+        """Random identity (Painter 'style cycling', run_UI.py:297-303)."""
+        z = jnp.asarray(np.random.RandomState(seed).randn(1, self.G.cfg.z_dim), jnp.float32)
+        c = jnp.asarray(render.CANONICAL_POSE_25)[None]
+        self.w = self.G.mapping(
+            self.g_params["mapping"], z, c, truncation_psi=truncation_psi
+        )
+        self.inversion = False
+        return self.w
+
+    def set_inversion(self, ws: jax.Array):
+        """Load a target code from inversion (run_UI.py:31-46)."""
+        self.w = ws
+        self.inversion = True
+
+    # --------------------------------------------------------------------- loop
+
+    def camera(self, yaw: float = 0.0, pitch: float = 0.0) -> jax.Array:
+        """Slider angles -> 25-dim label (run_UI.py:184-187, offsets around pi/2)."""
+        c2w = render.look_at_pose(
+            yaw + math.pi / 2, pitch + math.pi / 2, [0.0, 0.0, 0.0], radius=2.7
+        )
+        return render.make_label_25(c2w)
+
+    def view(self, yaw: float = 0.0, pitch: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+        """Free-view render of the current latent (no mask edit)."""
+        assert self.w is not None, "call set_seed or set_inversion first"
+        img, seg = self._render(self.g_params, self.w, self.camera(yaw, pitch))
+        return self._to_uint8(img), np.asarray(mask2color(seg))[0].astype(np.uint8)
+
+    def edit(
+        self, mask: np.ndarray, yaw: float = 0.0, pitch: float = 0.0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Apply an edited integer mask [R, R] (uint8 class ids) at the given view.
+
+        Updates the session latent (self.w = rec_ws, run_UI.py:203) and returns
+        (rgb uint8 [R,R,3], colorized seg uint8 [R,R,3])."""
+        assert self.w is not None, "call set_seed or set_inversion first"
+        seg_pm = (mask2onehot(jnp.asarray(mask)[None]) * 2.0 - 1.0)
+        c = self.camera(yaw, pitch)
+        step = self._edit_step if self.inversion else self._edit_step_free
+        img, seg, rec_ws = step(self.g_params, self.e_params, seg_pm, self.w, c)
+        self.w = rec_ws
+        return self._to_uint8(img), np.asarray(mask2color(seg))[0].astype(np.uint8)
+
+    @staticmethod
+    def _to_uint8(img: jax.Array) -> np.ndarray:
+        x = (np.asarray(img[0]) + 1.0) * 127.5
+        return np.rint(x).clip(0, 255).astype(np.uint8)

@@ -230,6 +230,9 @@ class Ide3dSynthesisNetwork:
         cfg = self.cfg
         rp = render_params or cfg.render
         assert rp.img_size == cfg.render_size
+        assert ws.shape[1] == self.num_ws, (
+            f"ws has {ws.shape[1]} rows, generator expects {self.num_ws}"
+        )
 
         noise_key = render_key = None
         if rng is not None:
@@ -240,8 +243,17 @@ class Ide3dSynthesisNetwork:
         img_v, seg_v = self.generate_planes(params, ws, noise_mode, noise_key)
 
         cam2world = c[:, :16].reshape(-1, 4, 4).astype(jnp.float32)
+        # Sample the planes in the compute dtype (bf16 in production): halves the
+        # gather bandwidth of the render hot loop; compositing stays fp32 inside
+        # integrate_rays.
+        sample_dtype = jnp.dtype(cfg.dtype)
         rout = self.renderer.render(
-            params["renderer"], img_v, seg_v, cam2world, rp, key=render_key
+            params["renderer"],
+            img_v.astype(sample_dtype),
+            seg_v.astype(sample_dtype),
+            cam2world,
+            rp,
+            key=render_key,
         )
 
         n_vb = len(self.voxel_block_resolutions)

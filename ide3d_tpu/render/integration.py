@@ -120,10 +120,14 @@ def sample_pdf(
     below = jnp.clip(inds - 1, 0, S)
     above = jnp.clip(inds, 0, S)
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, below, axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, above, axis=-1)
+    # Scattered scalar gathers are slow on TPU; the bin axis is tiny (S+1 <= 97),
+    # so fetch via one-hot matmuls on the MXU instead of take_along_axis.
+    oh_below = jax.nn.one_hot(below, S + 1, dtype=cdf.dtype)  # [R, N, S+1]
+    oh_above = jax.nn.one_hot(above, S + 1, dtype=cdf.dtype)
+    cdf_g0 = jnp.einsum("rns,rs->rn", oh_below, cdf)
+    cdf_g1 = jnp.einsum("rns,rs->rn", oh_above, cdf)
+    bins_g0 = jnp.einsum("rns,rs->rn", oh_below, bins)
+    bins_g1 = jnp.einsum("rns,rs->rn", oh_above, bins)
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < eps, 1.0, denom)

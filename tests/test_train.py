@@ -1,0 +1,178 @@
+"""Training-step tests: GAN step on a mesh, encoder step, PTI loop, Painter edit
+loop — tiny configs, real optimizers, finite losses, parameters actually move."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ide3d_tpu import render
+from ide3d_tpu.models import (
+    Discriminator,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    HybridEncoder,
+    Ide3dGenerator,
+)
+from ide3d_tpu.models.bisenet import BiSeNet
+from ide3d_tpu.parallel import create_mesh, replicate, shard_batch
+from ide3d_tpu.render.renderer import RenderParams
+from ide3d_tpu.train import (
+    EncoderTrainConfig,
+    GanTrainConfig,
+    init_encoder_state,
+    init_gan_state,
+    make_encoder_train_step,
+    make_gan_train_step,
+    pivotal_tune,
+    project_w_plus,
+    ProjectorConfig,
+    PtiConfig,
+)
+from ide3d_tpu.train.gan import d_input_channels
+
+
+def tiny_gcfg():
+    return GeneratorConfig(
+        img_resolution=32,
+        render_size=8,
+        plane_resolution=16,
+        channel_base=512,
+        channel_max=32,
+        sr_channel_base=256,
+        sr_channel_max=16,
+        feature_channels=8,
+        dtype="float32",
+        render=RenderParams(img_size=8, num_steps=4, hierarchical=True),
+    )
+
+
+def make_batch(B, R):
+    rng = np.random.RandomState(0)
+    return {
+        "img": jnp.asarray(rng.randn(B, R, R, 3).astype(np.float32) * 0.2),
+        "seg": jnp.asarray(rng.randn(B, R, R, 19).astype(np.float32)),
+        "c": jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25)),
+    }
+
+
+def test_gan_train_step_updates_params():
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    w_before = np.asarray(state.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    step = make_gan_train_step(G, D, tcfg)
+    state2, stats = step(state, make_batch(2, 32), jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    w_after = np.asarray(state2.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    assert np.abs(w_after - w_before).max() > 0
+    # EMA moved toward the new params but not all the way
+    ema = np.asarray(state2.params_g_ema["synthesis"]["vb4"]["conv"]["weight"])
+    assert np.abs(ema - w_before).max() < np.abs(w_after - w_before).max() + 1e-9
+
+
+def test_gan_train_step_sharded_over_mesh(devices):
+    if len(devices) < 2:
+        pytest.skip("needs multiple devices")
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    mesh = create_mesh(len(devices))
+    state = replicate(mesh, init_gan_state(jax.random.PRNGKey(0), G, D, tcfg))
+    batch = shard_batch(mesh, make_batch(2 * len(devices), 32))
+    rng = jax.device_put(jax.random.PRNGKey(1),
+                         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    step = make_gan_train_step(G, D, tcfg, mesh=mesh)
+    state2, stats = step(state, batch, rng)
+    assert np.isfinite(np.asarray(stats["loss_g"])).all()
+
+
+def test_encoder_train_step():
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=gcfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=gcfg.w_dim)
+    bis = BiSeNet(n_classes=20)
+    bp = bis.init(jax.random.PRNGKey(3))
+    tcfg = EncoderTrainConfig()
+    state = init_encoder_state(jax.random.PRNGKey(1), E, tcfg)
+    step = make_encoder_train_step(E, G, tcfg, bisenet=bis)
+    before = np.asarray(jax.tree_util.tree_leaves(state.params_e)[0])
+    state2, stats = step(state, g_params, bp, make_batch(2, 32), jax.random.PRNGKey(2))
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert {"loss_ws", "loss_gen_l2", "loss_cycle", "loss_real_l2",
+            "loss_real_entropy"} <= set(stats)
+    after = np.asarray(jax.tree_util.tree_leaves(state2.params_e)[0])
+    assert np.abs(after - before).max() > 0
+
+
+def test_projector_and_pti_improve_reconstruction():
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    c = jnp.asarray(render.CANONICAL_POSE_25)[None]
+
+    # target = a real render from a known w (so recon is achievable)
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, gcfg.z_dim))
+    w_true = G.mapping(g_params["mapping"], z, c)
+    target = G.synthesis(g_params["synthesis"], w_true, c, noise_mode="const")
+
+    w0 = project_w_plus(G, g_params, target, c,
+                        ProjectorConfig(num_steps=0, w_avg_samples=16))
+    img0 = G.synthesis(g_params["synthesis"], w0, c, noise_mode="const")
+    err0 = float(jnp.mean(jnp.square(img0 - target)))
+
+    w = project_w_plus(G, g_params, target, c,
+                       ProjectorConfig(num_steps=30, w_avg_samples=16),
+                       initial_w=w0)
+    img1 = G.synthesis(g_params["synthesis"], w, c, noise_mode="const")
+    err1 = float(jnp.mean(jnp.square(img1 - target)))
+    assert err1 < err0
+
+    tuned = pivotal_tune(G, g_params, w, target, c, PtiConfig(max_steps=10,
+                                                              lpips_threshold=0.0))
+    img2 = G.synthesis(tuned["synthesis"], w, c, noise_mode="const")
+    err2 = float(jnp.mean(jnp.square(img2 - target)))
+    assert err2 < err1
+
+
+def test_painter_session_edit_loop():
+    from ide3d_tpu.apps.painter import PainterSession
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=gcfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=gcfg.w_dim)
+    sess = PainterSession(G=G, E=E,
+                          g_params=G.init(jax.random.PRNGKey(0)),
+                          e_params=E.init(jax.random.PRNGKey(1)))
+    sess.set_seed(3)
+    img, seg = sess.view(yaw=0.2)
+    R = gcfg.img_resolution
+    assert img.shape == (R, R, 3) and img.dtype == np.uint8
+    assert seg.shape == (R, R, 3)
+
+    w_before = np.asarray(sess.w)
+    mask = np.zeros((R, R), np.uint8)
+    mask[8:24, 8:24] = 13  # paint hair
+    img2, seg2 = sess.edit(mask, yaw=0.0)
+    assert img2.shape == (R, R, 3)
+    assert np.abs(np.asarray(sess.w) - w_before).max() > 0  # latent state advanced
+
+    # appearance lock for inversions: appearance rows preserved exactly
+    sess.set_inversion(jnp.asarray(w_before))
+    sess.edit(mask, yaw=0.0)
+    np.testing.assert_allclose(np.asarray(sess.w)[:, n_geo:], w_before[:, n_geo:], atol=0)
