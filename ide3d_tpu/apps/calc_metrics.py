@@ -1,0 +1,76 @@
+"""Metric evaluation CLI (contract: calc_metrics.py:97 / apps/calc_metrics.py).
+
+Usage:
+    python -m ide3d_tpu.apps.calc_metrics --network random:0 --data path/to/imgs \
+        --metrics fid,kid --num-items 1000 [--detector inception --detector-weights x.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--network", required=True)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--metrics", default="fid")
+    ap.add_argument("--num-items", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--detector", choices=["pixel", "inception", "vgg16"], default="pixel")
+    ap.add_argument("--detector-weights", default=None,
+                    help="torch state_dict (.pth) for the chosen detector")
+    ap.add_argument("--cache-dir", default=".metric_cache")
+    ap.add_argument("--run-dir", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..metrics import calc_metric
+    from ..metrics.features import InceptionV3, PixelFeatures, VGG16Features
+    from .common import load_generator
+
+    G, g_params = load_generator(args.network)
+
+    if args.detector == "pixel":
+        det, dp = PixelFeatures(), {}
+        if args.metrics != "ppl2_wend":
+            print("WARNING: pixel detector gives scores NOT comparable with "
+                  "Inception-based references; pass --detector inception "
+                  "--detector-weights for real numbers.")
+    elif args.detector == "inception":
+        det = InceptionV3()
+        if args.detector_weights:
+            from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+
+            dp = state_dict_to_tree(load_torch_state_dict(args.detector_weights))
+        else:
+            dp = det.init()
+    else:
+        det = VGG16Features()
+        if args.detector_weights:
+            from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+
+            dp = state_dict_to_tree(load_torch_state_dict(args.detector_weights))
+        else:
+            dp = det.init(jax.random.PRNGKey(0))
+
+    dataset = None
+    if args.data:
+        from ..data import ImageFolderDataset
+
+        dataset = ImageFolderDataset(args.data, resolution=G.cfg.img_resolution)
+
+    for metric in args.metrics.split(","):
+        rec = calc_metric(
+            metric.strip(), run_dir=args.run_dir, G=G, g_params=g_params,
+            dataset=dataset, detector=det, detector_params=dp,
+            num_items=args.num_items, batch_size=args.batch,
+            cache_dir=args.cache_dir,
+        )
+        print(json.dumps(rec, default=float))
+
+
+if __name__ == "__main__":
+    main()

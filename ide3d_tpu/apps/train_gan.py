@@ -1,0 +1,164 @@
+"""IDE-3D GAN training driver — the loop the reference never shipped
+(README.md:186 "Training scipts will be released soon").
+
+Usage:
+    python -m ide3d_tpu.apps.train_gan --data imgs/ --seg segs/ --outdir runs/g0 \
+        --batch 8 --kimg 25000 [--resume ckpt_dir]
+
+Structure mirrors a StyleGAN2-ADA loop: host-sharded infinite loader, one jitted
+train step over the device mesh (train/gan.py), ADA p-controller, G_ema snapshots
+(orbax), periodic sample grids + metric evaluation, JSONL stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--seg", required=True)
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--kimg", type=int, default=25000)
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--snap-kimg", type=int, default=200)
+    ap.add_argument("--grid-kimg", type=int, default=50)
+    ap.add_argument("--ada-target", type=float, default=0.6)
+    ap.add_argument("--no-ada", action="store_true")
+    ap.add_argument("--r1-gamma", type=float, default=1.0)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import render
+    from ..data import CameraLabeledDataset, infinite_loader
+    from ..io.checkpoint import load_checkpoint, save_checkpoint
+    from ..models import Discriminator, DiscriminatorConfig, GeneratorConfig, Ide3dGenerator
+    from ..parallel import create_mesh, replicate, shard_batch
+    from ..parallel.stats import StatsAccumulator
+    from ..train import GanTrainConfig, init_gan_state, make_gan_train_step
+    from ..train.augment import AdaState, ada_accumulate, ada_init, ada_update, augment_pipe
+    from ..train.gan import GanTrainState, d_input_channels
+    from ..utils.seg import mask2color
+    from .common import save_image_grid
+
+    os.makedirs(args.outdir, exist_ok=True)
+    gcfg = GeneratorConfig(img_resolution=args.resolution)
+    tcfg = GanTrainConfig(r1_gamma=args.r1_gamma)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(
+        DiscriminatorConfig(
+            img_resolution=gcfg.img_resolution,
+            img_channels=d_input_channels(tcfg, gcfg),
+        )
+    )
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    print(f"mesh: {n_dev} device(s); global batch {args.batch}")
+
+    dataset = CameraLabeledDataset(args.data, args.seg, resolution=args.resolution,
+                                   xflip=True)
+    loader = infinite_loader(dataset, args.batch, seed=args.seed)
+
+    if args.resume:
+        params, meta = load_checkpoint(args.resume)
+        state = GanTrainState(
+            step=jnp.asarray(meta.get("step", 0), jnp.int32),
+            params_g=params["G"], params_d=params["D"],
+            params_g_ema=params["G_ema"],
+            opt_g=params["opt_g"], opt_d=params["opt_d"],
+        )
+        start_img = int(meta.get("step", 0)) * args.batch
+    else:
+        state = init_gan_state(jax.random.PRNGKey(args.seed), G, D, tcfg)
+        start_img = 0
+    state = replicate(mesh, state)
+
+    step_fn = make_gan_train_step(G, D, tcfg, mesh=mesh)
+    ada = ada_init()
+    ada_p = 0.0
+    acc = StatsAccumulator()
+
+    grid_z = jnp.asarray(np.random.RandomState(1).randn(16, gcfg.z_dim), jnp.float32)
+    grid_c = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (16, 25))
+
+    @jax.jit
+    def snapshot_grid(g_ema):
+        ws = G.mapping(g_ema["mapping"], grid_z, grid_c, truncation_psi=0.7)
+        return G.synthesis(g_ema["synthesis"], ws, grid_c, return_seg=True)
+
+    cur_img = start_img
+    next_snap = cur_img + args.snap_kimg * 1000
+    next_grid = cur_img
+    t_start = time.time()
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    while cur_img < args.kimg * 1000:
+        batch = next(loader)
+        key, k_step, k_aug = jax.random.split(key, 3)
+        if not args.no_ada and ada_p > 0:
+            batch["img"] = np.asarray(
+                augment_pipe(k_aug, jnp.asarray(batch["img"]), jnp.asarray(ada_p))
+            )
+        sbatch = shard_batch(mesh, batch)
+        state, stats = step_fn(state, sbatch, jax.device_put(
+            k_step, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+        cur_img += args.batch
+
+        acc.update({k: v for k, v in stats.items()})
+        if not args.no_ada:
+            ada = ada_accumulate(ada, np.asarray(stats["real_logits"])[None])
+            if (cur_img // args.batch) % 4 == 0:
+                ada = ada_update(ada, args.batch * 4, target=args.ada_target)
+                ada_p = float(ada.p)
+
+        if cur_img % (args.batch * 100) == 0:
+            line = {
+                "kimg": cur_img / 1000,
+                "time_h": (time.time() - t_start) / 3600,
+                "ada_p": ada_p,
+                **{k: float(np.asarray(v).mean()) for k, v in stats.items()},
+            }
+            print(json.dumps(line, default=float))
+            with open(os.path.join(args.outdir, "stats.jsonl"), "a") as f:
+                f.write(json.dumps(line, default=float) + "\n")
+
+        if cur_img >= next_grid:
+            img, seg = snapshot_grid(state.params_g_ema)
+            save_image_grid(np.asarray(img), os.path.join(args.outdir,
+                            f"fakes{cur_img//1000:06d}.png"), grid=(4, 4))
+            save_image_grid(np.asarray(mask2color(seg)) / 127.5 - 1.0,
+                            os.path.join(args.outdir, f"fakes{cur_img//1000:06d}_seg.png"),
+                            grid=(4, 4))
+            next_grid = cur_img + args.grid_kimg * 1000
+
+        if cur_img >= next_snap:
+            save_checkpoint(
+                os.path.join(args.outdir, f"snapshot-{cur_img//1000:06d}"),
+                {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
+                 "opt_g": state.opt_g, "opt_d": state.opt_d},
+                config=gcfg, step=int(state.step),
+            )
+            next_snap = cur_img + args.snap_kimg * 1000
+
+    save_checkpoint(
+        os.path.join(args.outdir, "snapshot-final"),
+        {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
+         "opt_g": state.opt_g, "opt_d": state.opt_d},
+        config=gcfg, step=int(state.step),
+    )
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Interactive visualizer backend (the reference imgui visualizer's Renderer,
+viz/renderer.py:125-444, re-designed as a headless render service).
+
+Capabilities mirrored from the reference widget set (viz/*.py): checkpoint
+selection, seed/latent control, style mixing (geometry/appearance split),
+truncation + noise mode, pose (yaw/pitch/fov), render types
+(image | seg | depth | normals | raw), backbone caching, per-frame timing.
+
+TPU design: the hot free-view path caches the tri-plane stacks per (seed,
+truncation, stylemix) state — pose changes then only re-run renderer + superres
+(the reference's backbone-cache widget does the same, viz/renderer.py:373-377).
+Two jitted programs: plane generation and plane-conditioned frame rendering."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VizState:
+    seed: int = 0
+    stylemix_seed: Optional[int] = None
+    stylemix_geometry: bool = False  # mix rows :8 from stylemix_seed
+    stylemix_appearance: bool = False  # mix rows 8: from stylemix_seed
+    truncation_psi: float = 0.7
+    truncation_cutoff: int = 14
+    yaw: float = 0.0
+    pitch: float = 0.0
+    fov: float = 18.0
+    num_steps: int = 48
+    render_type: str = "image"  # image | seg | depth | normals | raw
+    noise_mode: str = "const"
+
+
+class VizRenderer:
+    def __init__(self, G, params):
+        import jax
+        import jax.numpy as jnp
+
+        from .. import render as R
+        from ..render.renderer import RenderParams
+
+        self.G, self.params = G, params
+        self._jax, self._jnp, self._R = jax, jnp, R
+        self._RenderParams = RenderParams
+        self._plane_cache_key = None
+        self._planes = None
+        self._ws = None
+
+        S = G.synthesis
+
+        self._planes_fn = jax.jit(lambda p, w: S.generate_planes(p, w))
+
+        def frame(p, img_v, seg_v, ws, c, rp: RenderParams):
+            rout = S.renderer.render(
+                p["renderer"],
+                img_v.astype(jnp.dtype(G.cfg.dtype)),
+                seg_v.astype(jnp.dtype(G.cfg.dtype)),
+                c[:, :16].reshape(-1, 4, 4),
+                rp,
+            )
+            n_vb = len(S.voxel_block_resolutions)
+            img_raw = S._raw_rgb()(
+                p["raw_rgb"], rout["feature"].astype(jnp.dtype(G.cfg.dtype)), ws[:, n_vb + 1]
+            ).astype(jnp.float32)
+            img = S.superresolve(p, rout["feature"], img_raw, ws)
+            return img, rout["seg"], rout["depth"], rout["weights_sum"], img_raw
+
+        self._frame_fn = jax.jit(frame, static_argnames=("rp",))
+
+    # ------------------------------------------------------------------ latents
+
+    def _make_ws(self, st: VizState):
+        jnp, R, G = self._jnp, self._R, self.G
+        c = jnp.asarray(R.CANONICAL_POSE_25)[None]
+
+        def map_seed(seed):
+            z = jnp.asarray(np.random.RandomState(seed).randn(1, G.cfg.z_dim), jnp.float32)
+            return G.mapping(
+                self.params["mapping"], z, c,
+                truncation_psi=st.truncation_psi, truncation_cutoff=st.truncation_cutoff,
+            )
+
+        ws = map_seed(st.seed)
+        if st.stylemix_seed is not None and (st.stylemix_geometry or st.stylemix_appearance):
+            ws2 = map_seed(st.stylemix_seed)
+            n_geo = G.synthesis.num_ws_geo
+            geo = ws2[:, :n_geo] if st.stylemix_geometry else ws[:, :n_geo]
+            app = ws2[:, n_geo:] if st.stylemix_appearance else ws[:, n_geo:]
+            ws = jnp.concatenate([geo, app], axis=1)
+        return ws
+
+    # -------------------------------------------------------------------- frame
+
+    def render(self, st: VizState) -> Tuple[np.ndarray, dict]:
+        """Returns (uint8 image [R, R, 3], info dict incl. render_time)."""
+        t0 = time.perf_counter()
+        jnp, R = self._jnp, self._R
+
+        cache_key = (st.seed, st.stylemix_seed, st.stylemix_geometry,
+                     st.stylemix_appearance, st.truncation_psi, st.truncation_cutoff)
+        cache_hit = cache_key == self._plane_cache_key
+        if not cache_hit:
+            self._ws = self._make_ws(st)
+            self._planes = self._planes_fn(self.params["synthesis"], self._ws)
+            self._plane_cache_key = cache_key
+
+        c2w = R.look_at_pose(
+            st.yaw + math.pi / 2, st.pitch + math.pi / 2, [0.0, 0.0, 0.0], radius=2.7
+        )
+        c = R.make_label_25(c2w)
+        rp = self._RenderParams(
+            img_size=self.G.cfg.render_size, num_steps=st.num_steps,
+            hierarchical=True, fov=st.fov,
+        )
+        img, seg, depth, wsum, img_raw = self._frame_fn(
+            self.params["synthesis"], self._planes[0], self._planes[1], self._ws, c, rp
+        )
+
+        if st.render_type == "image":
+            out = np.asarray((img[0] + 1) * 127.5)
+        elif st.render_type == "raw":
+            out = np.asarray((img_raw[0] + 1) * 127.5)
+        elif st.render_type == "seg":
+            from ..utils.seg import mask2color
+
+            out = np.asarray(mask2color(seg))[0]
+        elif st.render_type == "depth":
+            d = np.asarray(depth[0, ..., 0])
+            d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+            out = np.repeat((d * 255)[..., None], 3, -1)
+        elif st.render_type == "normals":
+            d = np.asarray(depth[0, ..., 0])
+            gy, gx = np.gradient(d)
+            n = np.stack([-gx, -gy, np.full_like(d, 0.02)], -1)
+            n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-8
+            out = (n * 0.5 + 0.5) * 255 * (np.asarray(wsum[0, ..., 0]) > 0.5)[..., None]
+        else:
+            raise ValueError(st.render_type)
+
+        out = np.rint(out).clip(0, 255).astype(np.uint8)
+        info = {"render_time": time.perf_counter() - t0, "plane_cached": cache_hit}
+        return out, info
+
+
+def main(argv=None):
+    """Minimal HTTP render server: GET /render?seed=0&yaw=0.2&type=image -> PNG."""
+    import argparse
+    import io
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--network", required=True)
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args(argv)
+
+    from .common import load_generator
+
+    G, params = load_generator(args.network)
+    renderer = VizRenderer(G, params)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            st = VizState(
+                seed=int(q.get("seed", 0)),
+                yaw=float(q.get("yaw", 0)),
+                pitch=float(q.get("pitch", 0)),
+                fov=float(q.get("fov", 18)),
+                truncation_psi=float(q.get("trunc", 0.7)),
+                render_type=q.get("type", "image"),
+                stylemix_seed=int(q["mix"]) if "mix" in q else None,
+                stylemix_geometry=q.get("mix_geo", "0") == "1",
+                stylemix_appearance=q.get("mix_app", "0") == "1",
+            )
+            img, info = renderer.render(st)
+            import PIL.Image
+
+            buf = io.BytesIO()
+            PIL.Image.fromarray(img).save(buf, "PNG")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("X-Render-Time", f"{info['render_time']:.4f}")
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+        def log_message(self, *a):
+            pass
+
+    print(f"render server on :{args.port}  (GET /render?seed=0&yaw=0.3&type=seg)")
+    HTTPServer(("0.0.0.0", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

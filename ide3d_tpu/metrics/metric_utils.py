@@ -1,0 +1,180 @@
+"""Feature-statistics plumbing for the metric suite.
+
+Reference: metrics/metric_utils.py — FeatureStats (:97-162, raw feature bank +
+running mean/cov), compute_feature_stats_for_dataset (:209, disk-cached),
+compute_feature_stats_for_generator (:262, z->G->detector), rank-sharded with NCCL
+all-gathers (:124-134).
+
+TPU design: extraction is ONE jitted (detector ∘ generator) program over batches
+sharded on the mesh 'data' axis; features come back to host as a numpy bank (all
+metrics need O(N) features at most once). Disk cache keyed by
+(dataset/extractor/resolution) hash like the reference's dataset-stat cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import pickle
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FeatureStats:
+    """Raw feature bank + running moments (contract: metric_utils.py:97-162)."""
+
+    def __init__(self, capture_all: bool = False, capture_mean_cov: bool = False,
+                 max_items: Optional[int] = None):
+        self.capture_all = capture_all
+        self.capture_mean_cov = capture_mean_cov
+        self.max_items = max_items
+        self.num_items = 0
+        self.num_features = None
+        self.all_features = []
+        self.raw_mean = None
+        self.raw_cov = None
+
+    def set_num_features(self, num_features: int):
+        if self.num_features is None:
+            self.num_features = num_features
+            self.raw_mean = np.zeros(num_features, np.float64)
+            self.raw_cov = np.zeros((num_features, num_features), np.float64)
+        else:
+            assert num_features == self.num_features
+
+    def is_full(self) -> bool:
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def append(self, x: np.ndarray):
+        x = np.asarray(x, np.float32)
+        assert x.ndim == 2
+        if self.max_items is not None and self.num_items + x.shape[0] > self.max_items:
+            if self.is_full():
+                return
+            x = x[: self.max_items - self.num_items]
+        self.set_num_features(x.shape[1])
+        self.num_items += x.shape[0]
+        if self.capture_all:
+            self.all_features.append(x)
+        if self.capture_mean_cov:
+            x64 = x.astype(np.float64)
+            self.raw_mean += x64.sum(axis=0)
+            self.raw_cov += x64.T @ x64
+
+    def get_all(self) -> np.ndarray:
+        assert self.capture_all
+        return np.concatenate(self.all_features, axis=0)
+
+    def get_mean_cov(self):
+        assert self.capture_mean_cov
+        mean = self.raw_mean / self.num_items
+        cov = self.raw_cov / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    # ------------------------------------------------------------------- cache
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self.__dict__, f)
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureStats":
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        obj = cls()
+        obj.__dict__.update(state)
+        return obj
+
+
+@dataclasses.dataclass
+class MetricOptions:
+    """Everything a metric needs (the reference's MetricOptions,
+    metric_utils.py:23-40, minus torch/DDP plumbing)."""
+
+    G: object = None  # Ide3dGenerator
+    g_params: dict = None
+    dataset: object = None  # indexable -> (img uint8 HWC, [seg], label)
+    detector: object = None  # FeatureExtractor
+    detector_params: dict = None
+    num_items: int = 1000
+    batch_size: int = 8
+    cache_dir: Optional[str] = None
+    seed: int = 0
+    progress: Optional[Callable[[int, int], None]] = None
+
+
+def _cache_path(opts: MetricOptions, tag: str) -> Optional[str]:
+    if opts.cache_dir is None:
+        return None
+    key = f"{tag}-{type(opts.detector).__name__}-{opts.num_items}"
+    if opts.dataset is not None and hasattr(opts.dataset, "_path"):
+        key += "-" + os.path.basename(str(opts.dataset._path))
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    os.makedirs(opts.cache_dir, exist_ok=True)
+    return os.path.join(opts.cache_dir, f"stats-{h}.pkl")
+
+
+def compute_feature_stats_for_dataset(
+    opts: MetricOptions, capture_all=False, capture_mean_cov=True
+) -> FeatureStats:
+    cache = _cache_path(opts, "dataset")
+    if cache and os.path.exists(cache):
+        return FeatureStats.load(cache)
+
+    stats = FeatureStats(capture_all, capture_mean_cov, max_items=opts.num_items)
+    det = jax.jit(lambda p, x: opts.detector(p, x))
+    B = opts.batch_size
+    n = min(len(opts.dataset), opts.num_items)
+    i = 0
+    while not stats.is_full() and i < n:
+        imgs = []
+        for j in range(i, min(i + B, n)):
+            item = opts.dataset[j]
+            img = item[0]
+            imgs.append(img.astype(np.float32) / 127.5 - 1.0)
+        x = jnp.asarray(np.stack(imgs))
+        feats = det(opts.detector_params, x)
+        stats.append(np.asarray(feats))
+        i += B
+        if opts.progress:
+            opts.progress(i, n)
+
+    if cache:
+        stats.save(cache)
+    return stats
+
+
+def compute_feature_stats_for_generator(
+    opts: MetricOptions, capture_all=False, capture_mean_cov=True,
+    label_sampler: Optional[Callable[[int, np.random.RandomState], np.ndarray]] = None,
+) -> FeatureStats:
+    from .. import render
+
+    stats = FeatureStats(capture_all, capture_mean_cov, max_items=opts.num_items)
+    G, params = opts.G, opts.g_params
+    rs = np.random.RandomState(opts.seed)
+
+    @jax.jit
+    def gen_and_detect(params, dp, z, c):
+        img = G(params, z, c)
+        return opts.detector(dp, img)
+
+    B = opts.batch_size
+    while not stats.is_full():
+        z = jnp.asarray(rs.randn(B, G.cfg.z_dim), jnp.float32)
+        if label_sampler is not None:
+            c = jnp.asarray(label_sampler(B, rs), jnp.float32)
+        elif opts.dataset is not None and getattr(opts.dataset, "label_dim", 0) == 25:
+            idx = rs.randint(len(opts.dataset), size=B)
+            c = jnp.asarray(np.stack([opts.dataset[int(i)][-1] for i in idx]))
+        else:
+            c = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25))
+        feats = gen_and_detect(params, opts.detector_params, z, c)
+        stats.append(np.asarray(feats))
+        if opts.progress:
+            opts.progress(stats.num_items, opts.num_items)
+    return stats

@@ -60,6 +60,12 @@ class GeneratorConfig:
     sr_channel_max: int = 256
     dtype: str = "bfloat16"  # compute dtype for conv stacks; accumulators stay fp32
     render: RenderParams = RenderParams()
+    # Optional image-conditioning encoder built into G (reference contract:
+    # Generator.encoder inferring ws (+camera) from an input image,
+    # inversion/networks.py:1237-1251; consumed by the avatar style-transfer path
+    # apps/infer_face_animation_avatar.py:114 via cond_img).
+    use_encoder: bool = False
+    encoder_predicts_camera: bool = True
 
     @property
     def voxel_block_resolutions(self) -> tuple:
@@ -328,21 +334,87 @@ class Ide3dGenerator:
     def img_resolution(self) -> int:
         return self.cfg.img_resolution
 
+    @property
+    def encoder(self):
+        """Built-in image encoder (yaw/pitch head optional), or None."""
+        if not self.cfg.use_encoder:
+            return None
+        from .encoder import Encoder
+
+        return Encoder(
+            size=self.cfg.img_resolution,
+            n_latents=self.num_ws,
+            w_dim=self.cfg.w_dim,
+            input_dim=self.cfg.img_channels,
+        )
+
     def init(self, key: jax.Array) -> dict:
-        km, ks = jax.random.split(key)
-        return {"mapping": self.mapping.init(km), "synthesis": self.synthesis.init(ks)}
+        km, ks, ke = jax.random.split(key, 3)
+        p = {"mapping": self.mapping.init(km), "synthesis": self.synthesis.init(ks)}
+        enc = self.encoder
+        if enc is not None:
+            p["encoder"] = enc.init(ke)
+            if self.cfg.encoder_predicts_camera:
+                from .layers import FullyConnectedLayer
+
+                p["encoder_cam"] = FullyConnectedLayer(
+                    self.num_ws * self.cfg.w_dim, 2
+                ).init(jax.random.fold_in(ke, 1))
+        return p
+
+    def encode(self, params: dict, img: jax.Array):
+        """Infer (ws, yaw_pitch|None) from an image (networks.py:1244-1251)."""
+        enc = self.encoder
+        assert enc is not None, "GeneratorConfig.use_encoder is False"
+        ws = enc(params["encoder"], img)
+        ws = ws + params["mapping"]["w_avg"][None, None, :]
+        cam = None
+        if self.cfg.encoder_predicts_camera and "encoder_cam" in params:
+            from .layers import FullyConnectedLayer
+
+            head = FullyConnectedLayer(self.num_ws * self.cfg.w_dim, 2)
+            cam = head(params["encoder_cam"], ws.reshape(ws.shape[0], -1))
+        return ws, cam
 
     def __call__(
         self,
         params: dict,
-        z: jax.Array,
-        c: jax.Array,
+        z: Optional[jax.Array] = None,
+        c: Optional[jax.Array] = None,
+        styles: Optional[jax.Array] = None,
         truncation_psi: float = 1.0,
         truncation_cutoff: Optional[int] = None,
+        cond_img: Optional[jax.Array] = None,
         **synthesis_kwargs,
     ):
-        ws = self.mapping(
-            params["mapping"], z, c,
-            truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
-        )
+        """Top-level forward (contract: networks.py:1244-1258 incl. the optional
+        image-conditioning pathway `cond_img`/`img`)."""
+        if styles is not None:
+            ws = styles
+        elif cond_img is not None and self.cfg.use_encoder:
+            ws, cam = self.encode(params, cond_img)
+            if cam is not None and c is None:
+                import math as _math
+
+                from ..render.camera import create_cam2world_matrix, make_label_25, normalize_vecs
+
+                yaw = cam[:, 0] + _math.pi / 2
+                pitch = jnp.clip(cam[:, 1] + _math.pi / 2, 1e-5, _math.pi - 1e-5)
+                radius = 2.7
+                origins = jnp.stack(
+                    [
+                        radius * jnp.sin(pitch) * jnp.cos(yaw),
+                        radius * jnp.cos(pitch),
+                        radius * jnp.sin(pitch) * jnp.sin(yaw),
+                    ],
+                    axis=-1,
+                )
+                c2w = create_cam2world_matrix(normalize_vecs(-origins), origins)
+                c = make_label_25(c2w)
+        else:
+            assert z is not None
+            ws = self.mapping(
+                params["mapping"], z, c,
+                truncation_psi=truncation_psi, truncation_cutoff=truncation_cutoff,
+            )
         return self.synthesis(params["synthesis"], ws, c, **synthesis_kwargs)

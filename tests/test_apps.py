@@ -1,0 +1,115 @@
+"""App-layer tests on tiny configs: viz renderer (plane caching + render types),
+shape extraction chunking, dataset_tool zip roundtrip, spectra math."""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
+from ide3d_tpu.render.renderer import RenderParams
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = GeneratorConfig(
+        img_resolution=32, render_size=8, plane_resolution=16,
+        channel_base=512, channel_max=32, sr_channel_base=256, sr_channel_max=16,
+        feature_channels=8, dtype="float32", render=RenderParams(img_size=8, num_steps=4),
+    )
+    G = Ide3dGenerator(cfg)
+    return G, G.init(jax.random.PRNGKey(0))
+
+
+def test_viz_renderer_types_and_cache(tiny):
+    from ide3d_tpu.apps.viz_renderer import VizRenderer, VizState
+
+    G, params = tiny
+    r = VizRenderer(G, params)
+    st = VizState(seed=1, num_steps=4)
+    img, info = r.render(st)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert info["plane_cached"] is False
+    # pose change hits the plane cache
+    st2 = VizState(seed=1, yaw=0.3, num_steps=4)
+    _, info2 = r.render(st2)
+    assert info2["plane_cached"] is True
+    # seed change invalidates
+    _, info3 = r.render(VizState(seed=2, num_steps=4))
+    assert info3["plane_cached"] is False
+    for t in ("seg", "depth", "normals", "raw"):
+        out, _ = r.render(VizState(seed=2, render_type=t, num_steps=4))
+        assert out.dtype == np.uint8 and out.shape[-1] == 3
+
+
+def test_viz_stylemix_split(tiny):
+    from ide3d_tpu.apps.viz_renderer import VizRenderer, VizState
+
+    G, params = tiny
+    r = VizRenderer(G, params)
+    seg_a, _ = r.render(VizState(seed=1, render_type="seg", num_steps=4))
+    # appearance mix keeps geometry rows -> seg unchanged
+    seg_m, _ = r.render(VizState(seed=1, stylemix_seed=5, stylemix_appearance=True,
+                                 render_type="seg", num_steps=4))
+    np.testing.assert_array_equal(seg_a, seg_m)
+    # geometry mix changes seg
+    seg_g, _ = r.render(VizState(seed=1, stylemix_seed=5, stylemix_geometry=True,
+                                 render_type="seg", num_steps=4))
+    assert (seg_g != seg_a).any()
+
+
+def test_extract_shapes_chunks(tiny, tmp_path):
+    from ide3d_tpu.apps.extract_shapes import create_samples
+
+    G, params = tiny
+    S = G.synthesis
+    samples = create_samples(16, 0.3)
+    assert samples.shape == (16**3, 3)
+    # z index varies fastest (extract_shapes.py:84-86)
+    assert abs(samples[1, 2] - samples[0, 2]) > 0
+    np.testing.assert_allclose(samples[1, 0], samples[0, 0])
+
+    ws = G.mapping(params["mapping"],
+                   jax.random.normal(jax.random.PRNGKey(0), (1, G.cfg.z_dim)),
+                   jnp.zeros((1, 25)).at[:, :16].set(jnp.eye(4).reshape(-1)))
+    img_v, seg_v = S.generate_planes(params["synthesis"], ws)
+    out = S.renderer.sample_voxel(params["synthesis"]["renderer"], img_v, seg_v,
+                                  jnp.asarray(samples[None, :512]))
+    assert out.shape == (1, 512, G.cfg.feature_channels + 20)
+
+
+def test_dataset_tool_roundtrip(tmp_path):
+    from ide3d_tpu.apps.dataset_tool import main as dtool
+    from ide3d_tpu.data import ImageFolderDataset
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    labels = {}
+    for i in range(4):
+        name = f"photo_{i}.png"
+        PIL.Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(src / name)
+        labels[name] = list(np.eye(4).reshape(-1)) + [4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1]
+    with open(src / "dataset.json", "w") as f:
+        json.dump({"labels": list(labels.items())}, f)
+
+    dest = str(tmp_path / "data.zip")
+    dtool(["--source", str(src), "--dest", dest, "--resolution", "32"])
+    ds = ImageFolderDataset(dest, resolution=32)
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3)
+    assert label.shape == (25,)
+
+
+def test_spectra_math(rng):
+    from ide3d_tpu.apps.avg_spectra import azimuthal_average, power_spectrum
+
+    imgs = rng.randn(4, 32, 32, 3).astype(np.float32)
+    spec = power_spectrum(imgs)
+    assert spec.shape == (32, 32)
+    radial = azimuthal_average(spec)
+    assert radial.ndim == 1 and np.isfinite(radial).all()

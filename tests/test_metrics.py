@@ -1,0 +1,138 @@
+"""Metric suite tests: registry dispatch, FID sanity (identical distributions -> ~0,
+shifted -> >0), KID/PR/PPL/IS smoke on tiny generator + synthetic dataset."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ide3d_tpu import render
+from ide3d_tpu.metrics import calc_metric, list_metrics, pixel_features
+from ide3d_tpu.metrics.features import InceptionV3, VGG16Features, PixelFeatures
+from ide3d_tpu.metrics.metric_utils import FeatureStats, MetricOptions
+from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
+from ide3d_tpu.render.renderer import RenderParams
+
+
+class FakeDataset:
+    """Indexable (img uint8 HWC, label) like data.ImageFolderDataset."""
+
+    label_dim = 25
+    _path = "fake"
+
+    def __init__(self, n=32, res=32, seed=0):
+        rng = np.random.RandomState(seed)
+        self.imgs = rng.randint(0, 255, (n, res, res, 3), np.uint8)
+        self.labels = np.broadcast_to(render.CANONICAL_POSE_25, (n, 25)).copy()
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def __getitem__(self, i):
+        return self.imgs[i], self.labels[i]
+
+
+def tiny_G():
+    cfg = GeneratorConfig(
+        img_resolution=32, render_size=8, plane_resolution=16,
+        channel_base=512, channel_max=32, sr_channel_base=256, sr_channel_max=16,
+        feature_channels=8, dtype="float32",
+        render=RenderParams(img_size=8, num_steps=4),
+    )
+    G = Ide3dGenerator(cfg)
+    return G, G.init(jax.random.PRNGKey(0))
+
+
+def test_feature_stats_mean_cov():
+    rng = np.random.RandomState(0)
+    x = rng.randn(500, 8).astype(np.float32)
+    st = FeatureStats(capture_all=True, capture_mean_cov=True)
+    for i in range(0, 500, 64):
+        st.append(x[i : i + 64])
+    mean, cov = st.get_mean_cov()
+    np.testing.assert_allclose(mean, x.mean(0), atol=1e-4)
+    np.testing.assert_allclose(cov, np.cov(x.T, bias=True), atol=1e-3)
+    assert st.get_all().shape == (500, 8)
+
+
+def test_fid_zero_for_identical_and_positive_for_shifted(tmp_path):
+    from ide3d_tpu.metrics.frechet_inception_distance import compute_fid
+
+    # Monkey-level check of the math itself via stats objects.
+    rng = np.random.RandomState(1)
+    a = rng.randn(2000, 16)
+    import scipy.linalg
+
+    def fid_from(a, b):
+        mu1, s1 = a.mean(0), np.cov(a.T, bias=True)
+        mu2, s2 = b.mean(0), np.cov(b.T, bias=True)
+        m = np.square(mu1 - mu2).sum()
+        s = scipy.linalg.sqrtm(s1 @ s2)
+        return np.real(m + np.trace(s1 + s2 - 2 * s))
+
+    same = fid_from(a, a + rng.randn(*a.shape) * 1e-6)
+    shifted = fid_from(a, a + 3.0)
+    assert same < 0.05 and shifted > 100
+
+
+def test_calc_metric_fid_pipeline(tmp_path):
+    G, params = tiny_G()
+    ds = FakeDataset(n=24, res=32)
+    rec = calc_metric(
+        "fid", run_dir=str(tmp_path), G=G, g_params=params, dataset=ds,
+        detector=pixel_features, detector_params={}, num_items=24, batch_size=8,
+        cache_dir=str(tmp_path),
+    )
+    assert np.isfinite(rec["results"]["fid"])
+    assert (tmp_path / "metric-fid.jsonl").exists()
+    # cached dataset stats reused on second call
+    rec2 = calc_metric(
+        "fid", G=G, g_params=params, dataset=ds,
+        detector=pixel_features, detector_params={}, num_items=24, batch_size=8,
+        cache_dir=str(tmp_path),
+    )
+    assert np.isfinite(rec2["results"]["fid"])
+
+
+def test_kid_pr_is_smoke(tmp_path):
+    G, params = tiny_G()
+    ds = FakeDataset(n=16, res=32)
+    common = dict(G=G, g_params=params, dataset=ds, detector=pixel_features,
+                  detector_params={}, num_items=16, batch_size=8)
+    kid = calc_metric("kid", **common)["results"]["kid"]
+    assert np.isfinite(kid)
+    pr = calc_metric("pr", **common)["results"]
+    assert 0 <= pr["precision"] <= 1 and 0 <= pr["recall"] <= 1
+    is_res = calc_metric("inception_score", **common)["results"]
+    assert is_res["is_mean"] >= 1.0
+
+
+def test_ppl_smoke():
+    G, params = tiny_G()
+    rec = calc_metric("ppl2_wend", G=G, g_params=params,
+                      detector=pixel_features, detector_params={},
+                      num_items=8, batch_size=4)
+    assert np.isfinite(rec["results"]["ppl2_wend"])
+
+
+def test_metric_registry():
+    names = list_metrics()
+    assert {"fid", "kid", "pr", "ppl2_wend", "inception_score"} <= set(names)
+
+
+def test_inception_v3_forward_shape():
+    det = InceptionV3()
+    p = det.init()
+    x = jnp.zeros((2, 75, 75, 3))
+    out = det(p, x)
+    assert out.shape == (2, 2048)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vgg16_forward_shape():
+    det = VGG16Features()
+    p = det.init(jax.random.PRNGKey(0))
+    out = det(p, jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 4096)
+    maps = det.feature_maps(p, jnp.zeros((1, 64, 64, 3)))
+    assert len(maps) == 5

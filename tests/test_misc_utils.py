@@ -1,0 +1,104 @@
+"""Tests for marching tetrahedra, seg utils, checkpoint roundtrip, torch import."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ide3d_tpu.utils.marching import marching_tetrahedra, save_obj, save_ply
+from ide3d_tpu.utils.seg import BISENET_REMAP, id_remap, mask2color, mask2onehot, onehot2mask
+from ide3d_tpu.io.checkpoint import (
+    load_checkpoint,
+    load_pytree_npz,
+    save_checkpoint,
+    save_pytree_npz,
+)
+from ide3d_tpu.io.torch_import import state_dict_to_tree
+
+
+def test_marching_tets_sphere():
+    N = 24
+    z, y, x = np.meshgrid(*[np.arange(N)] * 3, indexing="ij")
+    r = 8.0
+    field = r - np.sqrt((x - N / 2) ** 2 + (y - N / 2) ** 2 + (z - N / 2) ** 2)
+    verts, faces = marching_tetrahedra(field, level=0.0)
+    assert len(verts) > 100 and len(faces) > 100
+    # all vertices near the sphere surface
+    d = np.linalg.norm(verts - N / 2, axis=1)
+    assert np.abs(d - r).max() < 1.0
+    # faces index valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_marching_tets_empty():
+    field = -np.ones((8, 8, 8))
+    verts, faces = marching_tetrahedra(field, 0.0)
+    assert len(verts) == 0 and len(faces) == 0
+
+
+def test_mesh_export(tmp_path):
+    field = 3.0 - np.linalg.norm(
+        np.stack(np.meshgrid(*[np.arange(10) - 5.0] * 3, indexing="ij"), -1), axis=-1
+    )
+    verts, faces = marching_tetrahedra(field, 0.0)
+    save_obj(str(tmp_path / "m.obj"), verts, faces)
+    save_ply(str(tmp_path / "m.ply"), verts, faces)
+    obj = (tmp_path / "m.obj").read_text().splitlines()
+    assert sum(1 for l in obj if l.startswith("v ")) == len(verts)
+    assert sum(1 for l in obj if l.startswith("f ")) == len(faces)
+    assert (tmp_path / "m.ply").stat().st_size > 100
+
+
+def test_seg_utils_roundtrip(rng):
+    mask = jnp.asarray(rng.randint(0, 19, (2, 8, 8)))
+    onehot = mask2onehot(mask)
+    assert onehot.shape == (2, 8, 8, 19)
+    np.testing.assert_array_equal(np.asarray(onehot2mask(onehot)), np.asarray(mask))
+    colors = mask2color(onehot)
+    assert colors.shape == (2, 8, 8, 3)
+    # remap maps 20 BiSeNet ids into 0..18
+    ids20 = jnp.arange(20)
+    out = np.asarray(id_remap(ids20))
+    assert out.max() <= 18 and (out == BISENET_REMAP).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32), "b": {"c": jnp.ones(4)}}
+    save_checkpoint(str(tmp_path / "ck"), tree, config={"x": 1}, step=7)
+    params, meta = load_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(np.asarray(params["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(params["b"]["c"]), np.ones(4))
+    assert meta["step"] == 7
+
+
+def test_npz_roundtrip(tmp_path):
+    tree = {"ws": np.random.randn(1, 18, 8).astype(np.float32), "meta": {"x": np.arange(3)}}
+    save_pytree_npz(str(tmp_path / "t.npz"), tree)
+    back = load_pytree_npz(str(tmp_path / "t.npz"))
+    np.testing.assert_array_equal(back["ws"], tree["ws"])
+    np.testing.assert_array_equal(back["meta"]["x"], tree["meta"]["x"])
+
+
+def test_state_dict_to_tree_layout():
+    sd = {
+        "block.conv.weight": np.zeros((8, 4, 3, 3), np.float32),  # OIHW
+        "block.fc.weight": np.zeros((16, 32), np.float32),  # [out, in]
+        "block.bn.running_mean": np.zeros(8, np.float32),
+        "block.bn.num_batches_tracked": np.zeros(1),
+    }
+    tree = state_dict_to_tree(sd)
+    assert tree["block"]["conv"]["weight"].shape == (3, 3, 4, 8)  # HWIO
+    assert tree["block"]["fc"]["weight"].shape == (32, 16)  # [in, out]
+    assert "num_batches_tracked" not in tree["block"]["bn"]
+
+
+def test_bisenet_forward(rng):
+    from ide3d_tpu.models.bisenet import BiSeNet
+
+    bis = BiSeNet(20)
+    p = bis.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    out = bis(p, x)
+    assert out.shape == (1, 64, 64, 20)
+    assert np.isfinite(np.asarray(out)).all()

@@ -222,3 +222,17 @@ def test_multiview_encoder():
     seg = jax.random.normal(jax.random.PRNGKey(2), (6, 32, 32, 19))
     ws = E(p, img, seg)
     assert ws.shape == (2, 18, 16)
+
+
+def test_generator_cond_img_pathway():
+    """Optional image-conditioning encoder (contract: inversion/networks.py:1237-1251,
+    consumed via cond_img by apps/infer_face_animation_avatar.py:114)."""
+    cfg = tiny_cfg(use_encoder=True)
+    G = Ide3dGenerator(cfg)
+    p = G.init(jax.random.PRNGKey(0))
+    img_in = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.img_resolution, cfg.img_resolution, 3))
+    out = G(p, cond_img=img_in)
+    assert out.shape == (2, cfg.img_resolution, cfg.img_resolution, 3)
+    ws, cam = G.encode(p, img_in)
+    assert ws.shape == (2, G.num_ws, cfg.w_dim)
+    assert cam.shape == (2, 2)
