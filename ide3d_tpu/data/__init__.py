@@ -1,1 +1,2 @@
 from .dataset import CameraLabeledDataset, ImageFolderDataset, infinite_loader
+from .prefetch import PrefetchLoader

@@ -207,6 +207,23 @@ class ImageFolderDataset:
             return img, seg, label
         return img, label
 
+    def raw_item(self, idx: int):
+        """Fast path for the native PrefetchLoader: raw uint8 image + integer mask
+        + label + xflip flag (the flip itself runs inside the C++ host ops; the
+        label relabeling happens here)."""
+        raw = int(self._raw_idx[idx])
+        img = self._load_image(raw)
+        label = (
+            self._raw_labels[raw].copy()
+            if self._raw_labels is not None
+            else np.zeros(0, np.float32)
+        )
+        flip = bool(self._xflip[idx])
+        if flip and label.size == 25:
+            label[[1, 2, 3, 4, 8]] *= -1
+        mask = self._load_seg_mask(raw).astype(np.uint8) if self.load_seg else None
+        return img, mask, label, flip
+
 
 class CameraLabeledDataset(ImageFolderDataset):
     """(image uint8 HWC, seg one-hot HWC float32, 25-dim camera label) triples

@@ -85,6 +85,20 @@ def ppl2_wend(opts: MetricOptions):
 
 
 @register_metric
+def eqt(opts: MetricOptions):
+    from .equivariance import compute_eqt
+
+    return {"eqt_psnr_db": compute_eqt(opts)}
+
+
+@register_metric
+def eqr(opts: MetricOptions):
+    from .equivariance import compute_eqr
+
+    return {"eqr_psnr_db": compute_eqr(opts)}
+
+
+@register_metric
 def inception_score(opts: MetricOptions):
     from .inception_score import compute_is
 

@@ -166,6 +166,7 @@ def get_initial_rays(
     fov: float,
     ray_start: float,
     ray_end: float,
+    offset: Tuple[float, float] = (0.0, 0.0),
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Camera-space rays + depth bins (contract: volumetric_rendering.py:77-97).
 
@@ -174,10 +175,12 @@ def get_initial_rays(
       z_vals     [n, W*H, num_steps, 1]  linspace(ray_start, ray_end),
       rays_d_cam [n, W*H, 3]             unit ray directions (x right, y up, z = -1/tan(fov/2)).
     Pixel order is row-major over (H, W) with y flipped (image memory layout).
+    `offset` shifts the image plane in NDC units (principal-point shift — used by
+    the translation-equivariance metric, metrics/equivariance.py).
     """
     W, H = resolution
-    x = jnp.linspace(-1.0, 1.0, W)
-    y = jnp.linspace(1.0, -1.0, H)
+    x = jnp.linspace(-1.0, 1.0, W) + offset[0]
+    y = jnp.linspace(1.0, -1.0, H) + offset[1]
     xg, yg = jnp.meshgrid(x, y)  # [H, W] each; rows scan y, cols scan x
     xf = xg.reshape(-1)
     yf = yg.reshape(-1)

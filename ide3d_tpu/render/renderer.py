@@ -83,6 +83,8 @@ class RenderParams:
     nerf_noise: float = 0.0
     last_back: bool = False
     white_back: bool = False
+    # principal-point shift in NDC units (equivariance metrics)
+    pixel_offset: Tuple[float, float] = (0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +166,7 @@ class TriplaneRenderer:
             k_perturb, k_noise, k_fine = jax.random.split(key, 3)
 
         points_cam, z_vals, rays_d_cam = get_initial_rays(
-            B, S, (W, H), rp.fov, rp.ray_start, rp.ray_end
+            B, S, (W, H), rp.fov, rp.ray_start, rp.ray_end, offset=rp.pixel_offset
         )
         if k_perturb is not None:
             points_cam, z_vals = perturb_z_vals(k_perturb, points_cam, z_vals, rays_d_cam)

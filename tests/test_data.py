@@ -79,3 +79,39 @@ def test_infinite_loader_batches(toy_dataset):
     it1 = infinite_loader(ds, 2, seed=1, host_id=1, num_hosts=2, shuffle=False)
     b0, b1 = next(it0), next(it1)
     assert not np.allclose(b0["img"], b1["img"])
+
+
+def test_native_host_ops(rng):
+    from ide3d_tpu.data import _native as N
+
+    mask = rng.randint(0, 19, (64, 64)).astype(np.uint8)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    oh = N.onehot_seg(mask, 19)
+    assert oh.shape == (64, 64, 19)
+    assert (np.argmax(oh, -1) == mask).all()
+    assert set(np.unique(oh)) == {-1.0, 1.0}
+    ohf = N.onehot_seg(mask, 19, flip=True)
+    assert (np.argmax(ohf, -1) == mask[:, ::-1]).all()
+    ni = N.normalize_img(img, flip=True)
+    np.testing.assert_allclose(ni, img[:, ::-1].astype(np.float32) / 127.5 - 1, atol=1e-6)
+    ib, sb = N.batch_assemble([img, img], [mask, mask], [0, 1])
+    assert ib.shape == (2, 64, 64, 3) and sb.shape == (2, 64, 64, 19)
+    np.testing.assert_allclose(ib[1], ni, atol=1e-6)
+
+
+def test_prefetch_loader(toy_dataset):
+    from ide3d_tpu.data import CameraLabeledDataset, PrefetchLoader
+
+    root, segroot = toy_dataset
+    ds = CameraLabeledDataset(root, segroot, resolution=32, xflip=True)
+    loader = PrefetchLoader(ds, batch_size=4, num_threads=2, prefetch=2)
+    try:
+        for _ in range(3):
+            batch = next(loader)
+            assert batch["img"].shape == (4, 32, 32, 3)
+            assert batch["seg"].shape == (4, 32, 32, 19)
+            assert batch["c"].shape == (4, 25)
+            assert batch["img"].dtype == np.float32
+            assert set(np.unique(batch["seg"])) <= {-1.0, 1.0}
+    finally:
+        loader.close()

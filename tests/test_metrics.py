@@ -136,3 +136,13 @@ def test_vgg16_forward_shape():
     assert out.shape == (2, 4096)
     maps = det.feature_maps(p, jnp.zeros((1, 64, 64, 3)))
     assert len(maps) == 5
+
+
+def test_equivariance_metrics_smoke():
+    G, params = tiny_G()
+    rec = calc_metric("eqt", G=G, g_params=params, detector=pixel_features,
+                      detector_params={}, num_items=2, batch_size=1)
+    assert np.isfinite(rec["results"]["eqt_psnr_db"])
+    rec = calc_metric("eqr", G=G, g_params=params, detector=pixel_features,
+                      detector_params={}, num_items=2, batch_size=1)
+    assert np.isfinite(rec["results"]["eqr_psnr_db"])

@@ -102,3 +102,33 @@ def test_bisenet_forward(rng):
     out = bis(p, x)
     assert out.shape == (1, 64, 64, 20)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_arcface_forward(rng):
+    from ide3d_tpu.models.arcface import ArcFaceIRSE50
+
+    net = ArcFaceIRSE50()
+    p = net.init()
+    x = jnp.asarray(rng.randn(2, 112, 112, 3).astype(np.float32) * 0.1)
+    emb = net(p, x)
+    assert emb.shape == (2, 512)
+    assert np.isfinite(np.asarray(emb)).all()
+    # embed_faces crops+resizes from any input resolution
+    big = jnp.asarray(rng.randn(1, 256, 256, 3).astype(np.float32) * 0.1)
+    emb2 = net.embed_faces(p, big)
+    assert emb2.shape == (1, 512)
+
+
+def test_profiling_utils():
+    from ide3d_tpu.utils.profiling import StepTimer, check_replica_consistency, profiled_function
+
+    @profiled_function
+    def f(x):
+        return x * 2
+
+    assert float(f(jnp.ones(()))) == 2.0
+    t = StepTimer()
+    with t.measure():
+        pass
+    assert t.median_ms >= 0
+    assert check_replica_consistency({"a": jnp.ones((4, 4))})

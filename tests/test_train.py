@@ -176,3 +176,63 @@ def test_painter_session_edit_loop():
     sess.set_inversion(jnp.asarray(w_before))
     sess.edit(mask, yaw=0.0)
     np.testing.assert_allclose(np.asarray(sess.w)[:, n_geo:], w_before[:, n_geo:], atol=0)
+
+
+def test_nada_step_moves_appearance_only():
+    from ide3d_tpu.train.nada import NadaConfig, init_nada_state, make_nada_step
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_frozen = G.init(jax.random.PRNGKey(0))
+
+    def fake_embed(img):
+        B = img.shape[0]
+        small = jax.image.resize(img, (B, 8, 8, 3), "bilinear")
+        return small.reshape(B, -1)
+
+    tdir = jnp.ones((8 * 8 * 3,))
+    cfg = NadaConfig(freeze_geometry=True)
+    state = init_nada_state(G, g_frozen, cfg)
+    step = make_nada_step(G, g_frozen, fake_embed, tdir, cfg)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, gcfg.z_dim))
+    c = make_batch(2, 32)["c"]
+    state2, loss = step(state, z, c, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    # geometry params frozen
+    np.testing.assert_allclose(
+        np.asarray(state2.params_train["synthesis"]["vb4"]["conv"]["weight"]),
+        np.asarray(g_frozen["synthesis"]["vb4"]["conv"]["weight"]),
+    )
+    # superres params moved
+    b_moved = np.abs(
+        np.asarray(state2.params_train["synthesis"]["b8"]["conv0"]["weight"])
+        - np.asarray(g_frozen["synthesis"]["b8"]["conv0"]["weight"])
+    ).max()
+    assert b_moved > 0
+
+
+def test_preprocess_pose_math():
+    from ide3d_tpu.data.preprocess import (
+        euler_to_rotation,
+        face_recon_to_pose,
+        fix_pose_orig,
+        flip_yaw,
+        make_dataset_labels,
+    )
+
+    R = euler_to_rotation(np.zeros(3))
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-9)
+    pose = face_recon_to_pose(np.zeros(3), np.zeros(3))
+    assert pose.shape == (4, 4)
+    # camera sits in front (positive z after offsets), looking at the face
+    assert pose[2, 3] > 2.5
+    norm = fix_pose_orig(pose)
+    np.testing.assert_allclose(np.linalg.norm(norm[:3, 3]), 2.7, atol=1e-6)
+    flipped = flip_yaw(norm)
+    assert flipped[0, 3] == -norm[0, 3]
+    ds = make_dataset_labels(
+        {"a.jpg": {"pose": pose.tolist(), "intrinsics": np.eye(3).tolist()}},
+        mode="orig", mirror=True,
+    )
+    assert len(ds["labels"]) == 2 and len(ds["labels"][0][1]) == 25
