@@ -64,8 +64,10 @@ class PainterSession:
     e_params: dict
     w: Optional[jax.Array] = None  # current latent state, carried across edits
     inversion: bool = False
+    record: bool = False  # session logging (Painter/converter_log_to_video.py)
 
     def __post_init__(self):
+        self._log: list = []
         self._edit_step = make_edit_step(self.G, self.E, lock_appearance=True)
         self._edit_step_free = make_edit_step(self.G, self.E, lock_appearance=False)
 
@@ -119,8 +121,35 @@ class PainterSession:
         c = self.camera(yaw, pitch)
         step = self._edit_step if self.inversion else self._edit_step_free
         img, seg, rec_ws = step(self.g_params, self.e_params, seg_pm, self.w, c)
+        if self.record:
+            import time as _time
+
+            self._log.append(
+                {"mask": np.asarray(mask, np.uint8), "yaw": yaw, "pitch": pitch,
+                 "t": _time.time()}
+            )
         self.w = rec_ws
         return self._to_uint8(img), np.asarray(mask2color(seg))[0].astype(np.uint8)
+
+    # -------------------------------------------------------------- session log
+
+    def save_log(self, path: str):
+        """Persist the edit session (masks + camera angles) for replay
+        (the reference's Painter session log, Painter/converter_log_to_video.py)."""
+        assert self._log, "nothing recorded (set record=True)"
+        np.savez_compressed(
+            path,
+            masks=np.stack([e["mask"] for e in self._log]),
+            yaw=np.asarray([e["yaw"] for e in self._log]),
+            pitch=np.asarray([e["pitch"] for e in self._log]),
+            t=np.asarray([e["t"] for e in self._log]),
+        )
+
+    def replay_log(self, path: str):
+        """Re-run a recorded session; yields (rgb, seg_color) frames."""
+        data = np.load(path)
+        for i in range(len(data["yaw"])):
+            yield self.edit(data["masks"][i], float(data["yaw"][i]), float(data["pitch"][i]))
 
     @staticmethod
     def _to_uint8(img: jax.Array) -> np.ndarray:

@@ -131,13 +131,35 @@ class TriplaneRenderer:
         self, params: dict, img_v: jax.Array, seg_v: jax.Array, coords: jax.Array
     ) -> jax.Array:
         """Contract: extract_shapes.py:146. coords [B,N,3] world -> [B,N,52],
-        layout [feat(32) | seg(19) | sigma(1)]."""
+        layout [feat(32) | seg(19) | sigma(1)].
+
+        The texture and semantic plane stacks are sampled with ONE fused gather
+        over the concatenated channels (rows narrower than 128 lanes cost the same
+        as wide ones on TPU — see ops/grid_sample.sample_from_triplane_fused)."""
+        return self._sample_52(params, self.build_table(img_v, seg_v), coords)
+
+    def build_table(self, img_v: jax.Array, seg_v: jax.Array) -> jax.Array:
+        """Quad table over the concatenated texture+semantic plane channels;
+        build once per plane set, reuse across render passes / sigma chunks."""
+        from ..ops.grid_sample import build_triplane_quad_table
+
+        B, H, W, _ = img_v.shape
+        fc, sc = self.feature_channels, self.seg_channels
+        combined = jnp.concatenate(
+            [img_v.reshape(B, H, W, 3, fc), seg_v.reshape(B, H, W, 3, sc)], axis=-1
+        )
+        return build_triplane_quad_table(combined)
+
+    def _sample_52(self, params: dict, quad: jax.Array, coords: jax.Array) -> jax.Array:
+        from ..ops.grid_sample import sample_from_quad_table
+
         coords = coords * self.coord_scale
-        feat = sample_from_triplane(coords, img_v)  # [B,N,32]
-        seg = sample_from_triplane(coords, seg_v)  # [B,N,19]
-        decoded = self.decode_features(params, feat)  # [B,N,33]
+        fc = self.feature_channels
+        sampled = sample_from_quad_table(coords, quad)  # [B, N, fc+sc]
+        feat, seg = sampled[..., :fc], sampled[..., fc:]
+        decoded = self.decode_features(params, feat)  # [B, N, fc+1]
         return jnp.concatenate(
-            [decoded[..., : self.feature_channels], seg, decoded[..., -1:]], axis=-1
+            [decoded[..., :fc], seg, decoded[..., -1:]], axis=-1
         )
 
     # ----------------------------------------------------------------- rendering
@@ -173,7 +195,8 @@ class TriplaneRenderer:
 
         pts, dirs, origins = transform_rays_to_world(points_cam, rays_d_cam, cam2world)
 
-        coarse = self.sample_voxel(params, img_v, seg_v, pts.reshape(B, Rr * S, 3))
+        quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
+        coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3))
         coarse = coarse.reshape(B, Rr, S, self.out_channels)
 
         if rp.hierarchical:
@@ -193,7 +216,7 @@ class TriplaneRenderer:
             fine_z = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
 
             fine_pts = origins[:, :, None, :] + dirs[:, :, None, :] * fine_z
-            fine = self.sample_voxel(params, img_v, seg_v, fine_pts.reshape(B, Rr * S, 3))
+            fine = self._sample_52(params, quad, fine_pts.reshape(B, Rr * S, 3))
             fine = fine.reshape(B, Rr, S, self.out_channels)
 
             all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,2S,1]

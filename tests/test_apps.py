@@ -113,3 +113,45 @@ def test_spectra_math(rng):
     assert spec.shape == (32, 32)
     radial = azimuthal_average(spec)
     assert radial.ndim == 1 and np.isfinite(radial).all()
+
+
+def test_lpips_module(rng):
+    import jax
+    from ide3d_tpu.metrics.lpips import LPIPS
+
+    lp = LPIPS()
+    p = lp.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 0.3)
+    d_same = np.asarray(lp(p, x, x))
+    np.testing.assert_allclose(d_same, 0.0, atol=1e-5)
+    y = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32) * 0.3)
+    d_diff = np.asarray(lp(p, x, y))
+    assert (d_diff > 0).all()
+
+
+def test_painter_record_and_replay(tiny, tmp_path):
+    import jax
+    from ide3d_tpu.apps.painter import PainterSession
+    from ide3d_tpu.models.encoder import HybridEncoder
+
+    G, params = tiny
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=G.cfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=G.cfg.w_dim)
+    sess = PainterSession(G=G, E=E, g_params=params,
+                          e_params=E.init(jax.random.PRNGKey(1)), record=True)
+    sess.set_seed(0)
+    R = G.cfg.img_resolution
+    mask = np.zeros((R, R), np.uint8)
+    sess.edit(mask, yaw=0.1)
+    mask[4:10, 4:10] = 13
+    sess.edit(mask, yaw=-0.1)
+    log = str(tmp_path / "session.npz")
+    sess.save_log(log)
+
+    sess2 = PainterSession(G=G, E=E, g_params=params,
+                           e_params=E.init(jax.random.PRNGKey(1)))
+    sess2.set_seed(0)
+    frames = list(sess2.replay_log(log))
+    assert len(frames) == 2
+    assert frames[0][0].shape == (R, R, 3)
