@@ -39,8 +39,14 @@ if not _os.environ.get("IDE3D_TPU_NO_CACHE"):
         "IDE3D_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/ide3d_tpu_xla")
     )
     try:
-        _os.makedirs(_cache_dir, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Respect an already-configured cache (tests point at their own dir), and
+        # keep CPU / TPU entries separate — mixing them makes XLA load AOT results
+        # compiled for a different machine (SIGILL risk).
+        if getattr(_jax.config, "jax_compilation_cache_dir", None) is None:
+            _platform_tag = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+            _cache_dir = _os.path.join(_cache_dir, _platform_tag or "default")
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass

@@ -45,6 +45,41 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1), grid=None):
     PIL.Image.fromarray(canvas).save(path)
 
 
+def write_video(path: str, frames, fps: int = 24):
+    """Write an RGB uint8 frame list to disk. Tries imageio (needs an ffmpeg
+    backend), then OpenCV's mp4 writer, then falls back to an animated GIF next
+    to the requested path. Returns the path actually written."""
+    import os
+
+    frames = [np.ascontiguousarray(f) for f in frames]
+    try:
+        import imageio
+
+        imageio.mimwrite(path, frames, fps=fps)
+        return path
+    except Exception:
+        pass
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        assert vw.isOpened()
+        for f in frames:
+            vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        vw.release()
+        return path
+    except Exception:
+        pass
+    import PIL.Image
+
+    gif = os.path.splitext(path)[0] + ".gif"
+    imgs = [PIL.Image.fromarray(f) for f in frames]
+    imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    return gif
+
+
 def load_generator(network: str):
     """Load a generator from a native checkpoint dir, or build a fresh one for
     `random:<seed>` specs (until pretrained weights are importable)."""

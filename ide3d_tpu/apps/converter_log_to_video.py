@@ -27,7 +27,7 @@ def main(argv=None):
     import jax
 
     from ..models.encoder import HybridEncoder
-    from .common import load_generator
+    from .common import load_generator, write_video
     from .painter import PainterSession
 
     G, g_params = load_generator(args.network)
@@ -50,10 +50,8 @@ def main(argv=None):
         frames.append(np.concatenate([rgb, seg], axis=1))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    import imageio
-
-    imageio.mimwrite(args.output, frames, fps=args.fps)
-    print(f"wrote {args.output} ({len(frames)} frames)")
+    out_path = write_video(args.output, frames, fps=args.fps)
+    print(f"wrote {out_path} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ def main(argv=None):
     from .. import render
     from ..render.renderer import RenderParams
     from ..utils.seg import mask2color
-    from .common import load_generator, parse_range
+    from .common import load_generator, parse_range, write_video
 
     G, params = load_generator(args.network)
     gw, gh = (int(x) for x in args.grid.split("x"))
@@ -117,15 +117,8 @@ def main(argv=None):
             print(f"frame {fi}/{total}")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    if args.output.endswith(".mp4"):
-        import imageio
-
-        imageio.mimwrite(args.output, frames, fps=args.fps)
-    else:
-        import imageio
-
-        imageio.mimwrite(args.output, frames, fps=args.fps)
-    print(f"wrote {args.output} ({len(frames)} frames)")
+    out_path = write_video(args.output, frames, fps=args.fps)
+    print(f"wrote {out_path} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":

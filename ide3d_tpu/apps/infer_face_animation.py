@@ -41,7 +41,7 @@ def main(argv=None):
     from ..apps.painter import PainterSession
     from ..models.encoder import HybridEncoder
     from ..utils.seg import mask2color
-    from .common import load_generator
+    from .common import load_generator, write_video
     from .infer_hybrid_encoder import load_mask
 
     G, g_params = load_generator(args.network)
@@ -79,10 +79,8 @@ def main(argv=None):
             print(f"frame {i}/{len(mask_files)}")
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
-    import imageio
-
-    imageio.mimwrite(args.output, frames, fps=args.fps)
-    print(f"wrote {args.output} ({len(frames)} frames)")
+    out_path = write_video(args.output, frames, fps=args.fps)
+    print(f"wrote {out_path} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":

@@ -105,10 +105,10 @@ def main(argv=None):
             shade = np.clip((n @ light), 0, 1) * mask
             frames.append((np.repeat(shade[..., None], 3, -1) * 255).astype(np.uint8))
 
-        import imageio
+        from .common import write_video
 
-        imageio.mimwrite(args.video, frames, fps=24)
-        print(f"wrote {args.video}")
+        out_path = write_video(args.video, frames, fps=24)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

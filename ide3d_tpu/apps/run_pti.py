@@ -140,7 +140,7 @@ def _save_viz(G, g_params, w_pivot, target, c, args, name):
     save_image_grid(pair, os.path.join(args.outdir, f"{name}_compare.png"), grid=(2, 1))
 
     if args.video:
-        import imageio
+        from .common import write_video
 
         frames = []
         for i in range(60):
@@ -152,7 +152,7 @@ def _save_viz(G, g_params, w_pivot, target, c, args, name):
             frames.append(
                 np.rint((np.asarray(img[0]) + 1) * 127.5).clip(0, 255).astype(np.uint8)
             )
-        imageio.mimwrite(os.path.join(args.outdir, f"{name}_orbit.mp4"), frames, fps=24)
+        write_video(os.path.join(args.outdir, f"{name}_orbit.mp4"), frames, fps=24)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ def main(argv=None):
     ap.add_argument("--seg", required=True)
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--kimg", type=int, default=25000)
+    ap.add_argument("--kimg", type=float, default=25000)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--snap-kimg", type=int, default=200)
     ap.add_argument("--grid-kimg", type=int, default=50)
@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--r1-gamma", type=float, default=1.0)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--preset", choices=["full", "tiny"], default="full",
+                    help="tiny = smoke-test scale (CI / CPU)")
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,8 +54,23 @@ def main(argv=None):
     from ..utils.seg import mask2color
     from .common import save_image_grid
 
+    if args.platform:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
+
     os.makedirs(args.outdir, exist_ok=True)
-    gcfg = GeneratorConfig(img_resolution=args.resolution)
+    if args.preset == "tiny":
+        from ..render.renderer import RenderParams
+
+        gcfg = GeneratorConfig(
+            img_resolution=args.resolution, render_size=8, plane_resolution=16,
+            channel_base=512, channel_max=32, sr_channel_base=256, sr_channel_max=16,
+            feature_channels=8, dtype="float32",
+            render=RenderParams(img_size=8, num_steps=4),
+        )
+    else:
+        gcfg = GeneratorConfig(img_resolution=args.resolution)
     tcfg = GanTrainConfig(r1_gamma=args.r1_gamma)
     G = Ide3dGenerator(gcfg)
     D = Discriminator(

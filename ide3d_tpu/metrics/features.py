@@ -63,22 +63,31 @@ pixel_features = PixelFeatures()
 
 
 _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512, "M"]
+_VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512, "M",
+              512, 512, 512, 512, "M"]
 
 
 @dataclasses.dataclass(frozen=True)
 class VGG16Features:
     """torchvision VGG16 conv features; returns the 4096-d fc1 embedding by default
     or multi-scale conv maps via `feature_maps`. Param keys mirror
-    torchvision.models.vgg16().state_dict() ('features.0.weight', ...)."""
+    torchvision.models.vgg16().state_dict() ('features.0.weight', ...).
+    Set cfg_name='vgg19' for the VGG19 trunk (the encoder-training perceptual
+    backbone, apps/train_hybrid_encoder.py:120-152)."""
 
     dim: int = 4096
+    cfg_name: str = "vgg16"
+
+    @property
+    def _cfg(self):
+        return _VGG19_CFG if self.cfg_name == "vgg19" else _VGG16_CFG
 
     def init(self, key: jax.Array) -> dict:
         rs = np.random.RandomState(0)
         params = {"features": {}, "classifier": {}}
         in_ch = 3
         idx = 0
-        for v in _VGG16_CFG:
+        for v in self._cfg:
             if v == "M":
                 idx += 1
                 continue
@@ -102,7 +111,7 @@ class VGG16Features:
         taps = []
         in_ch = 3
         idx = 0
-        for v in _VGG16_CFG:
+        for v in self._cfg:
             if v == "M":
                 taps.append(x)
                 x = jax.lax.reduce_window(

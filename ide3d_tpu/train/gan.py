@@ -40,7 +40,8 @@ class GanTrainConfig:
     r1_interval: int = 16
     ema_beta: float = 0.998
     use_seg_d: bool = True  # D also sees the semantic channels (paper Sec. 3.2)
-    style_mixing_prob: float = 0.0  # reserved
+    style_mixing_prob: float = 0.9  # StyleGAN2 mixing regularization
+    w_avg_beta: float = 0.995  # mapping w_avg EMA (networks.py:257)
 
 
 class GanTrainState(NamedTuple):
@@ -106,9 +107,24 @@ def make_gan_train_step(
     opt_g, opt_d = make_optimizers(tcfg)
 
     def synth_fake(params_g, z, c, rng):
+        k_mix, k_z2, k_cut, k_noise = jax.random.split(rng, 4)
         ws = G.mapping(params_g["mapping"], z, c)
+        if tcfg.style_mixing_prob > 0:
+            # StyleGAN2 mixing regularization: with prob p, rows >= cutoff come
+            # from a second latent.
+            z2 = jax.random.normal(k_z2, z.shape)
+            ws2 = G.mapping(params_g["mapping"], z2, c)
+            num_ws = ws.shape[1]
+            cutoff = jax.random.randint(k_cut, (z.shape[0], 1), 1, num_ws)
+            do_mix = (
+                jax.random.uniform(k_mix, (z.shape[0], 1)) < tcfg.style_mixing_prob
+            )
+            rows = jnp.arange(num_ws)[None, :]
+            take2 = (rows >= cutoff) & do_mix
+            ws = jnp.where(take2[..., None], ws2, ws)
         out = G.synthesis(
-            params_g["synthesis"], ws, c, noise_mode="random", rng=rng, return_all=True
+            params_g["synthesis"], ws, c, noise_mode="random", rng=k_noise,
+            return_all=True,
         )
         return out
 
@@ -185,6 +201,17 @@ def make_gan_train_step(
         )
         updates_g, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
+
+        # --- w_avg EMA (functional replacement of the mapping buffer update,
+        # networks.py:307-310; needed for truncation at inference time)
+        w_batch = G.mapping(params_g["mapping"], z_g, batch["c"], broadcast=False)
+        new_w_avg = jax.lax.stop_gradient(w_batch.mean(axis=0)) * (
+            1.0 - tcfg.w_avg_beta
+        ) + params_g["mapping"]["w_avg"] * tcfg.w_avg_beta
+        params_g = {
+            **params_g,
+            "mapping": {**params_g["mapping"], "w_avg": new_w_avg},
+        }
 
         # --- EMA
         ema = jax.tree_util.tree_map(

@@ -236,3 +236,49 @@ def test_generator_cond_img_pathway():
     ws, cam = G.encode(p, img_in)
     assert ws.shape == (2, G.num_ws, cfg.w_dim)
     assert cam.shape == (2, 2)
+
+
+def test_sg3_layer_and_schedule():
+    from ide3d_tpu.models.layers_sg3 import SynthesisLayer3, sg3_layer_schedule
+
+    sched = sg3_layer_schedule(num_layers=14, img_resolution=128)
+    assert len(sched["sizes"]) == 15
+    assert sched["sizes"][-1] == 128 and sched["cutoffs"][-1] == 64
+
+    layer = SynthesisLayer3(
+        w_dim=32, is_torgb=False, in_channels=8, out_channels=8,
+        in_size=16, out_size=16, in_sampling_rate=16, out_sampling_rate=16,
+        in_cutoff=6, out_cutoff=6, in_half_width=2, out_half_width=2,
+    )
+    p = layer.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    y = layer(p, x, w)
+    assert y.shape == (2, 16, 16, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+    torgb = SynthesisLayer3(
+        w_dim=32, is_torgb=True, in_channels=8, out_channels=3,
+        in_size=16, out_size=16, in_sampling_rate=16, out_sampling_rate=16,
+        in_cutoff=8, out_cutoff=8, in_half_width=2, out_half_width=2,
+    )
+    tp = torgb.init(jax.random.PRNGKey(3))
+    img = torgb(tp, x, w)
+    assert img.shape == (2, 16, 16, 3)
+
+
+def test_feature_volume():
+    from ide3d_tpu.models.feature_volume import FeatureVolume
+    from ide3d_tpu.ops import sample_from_3dgrid
+
+    fv = FeatureVolume(feat_res=16, init_res=4, base_channels=32, output_channels=8,
+                       z_dim=16)
+    p = fv.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    vol = fv(p, z)
+    assert vol.shape == (2, 16, 16, 16, 8)
+    assert np.isfinite(np.asarray(vol)).all()
+    # instance-norm'd + lrelu: per-sample stats bounded
+    coords = jax.random.uniform(jax.random.PRNGKey(2), (2, 50, 3), minval=-1, maxval=1)
+    feats = sample_from_3dgrid(coords, vol)
+    assert feats.shape == (2, 50, 8)
