@@ -80,8 +80,10 @@ def main(argv=None):
         )
     )
 
-    mesh = create_mesh()
-    n_dev = mesh.devices.size
+    n_dev = len(jax.devices())
+    while args.batch % n_dev:
+        n_dev -= 1
+    mesh = create_mesh(n_dev)
     print(f"mesh: {n_dev} device(s); global batch {args.batch}")
 
     dataset = CameraLabeledDataset(args.data, args.seg, resolution=args.resolution,

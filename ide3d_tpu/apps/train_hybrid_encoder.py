@@ -65,7 +65,10 @@ def main(argv=None):
         bis = BiSeNet(20)
         bp = import_bisenet(args.bisenet)
 
-    mesh = create_mesh()
+    n_dev = len(jax.devices())
+    while args.batch % n_dev:
+        n_dev -= 1
+    mesh = create_mesh(n_dev)
     if args.resume:
         params, meta = load_checkpoint(args.resume)
         state = EncoderTrainState(

@@ -236,3 +236,48 @@ def test_preprocess_pose_math():
         mode="orig", mirror=True,
     )
     assert len(ds["labels"]) == 2 and len(ds["labels"][0][1]) == 25
+
+
+def test_gan_step_updates_w_avg():
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    w_avg_before = np.asarray(state.params_g["mapping"]["w_avg"])
+    step = make_gan_train_step(G, D, tcfg)
+    state2, _ = step(state, make_batch(2, 32), jax.random.PRNGKey(1))
+    w_avg_after = np.asarray(state2.params_g["mapping"]["w_avg"])
+    assert np.abs(w_avg_after - w_avg_before).max() > 0
+    # EMA: moved at most (1-beta) toward batch mean scale
+    assert np.abs(w_avg_after - w_avg_before).max() < 1.0
+
+
+def test_train_gan_cli_smoke(tmp_path):
+    """Drive the full training CLI for a few steps (tiny preset, CPU)."""
+    import json
+    import PIL.Image
+    from ide3d_tpu.apps.train_gan import main as train_main
+
+    imgs = tmp_path / "imgs"; segs = tmp_path / "segs"
+    imgs.mkdir(); segs.mkdir()
+    rng = np.random.RandomState(0)
+    labels = {}
+    for i in range(4):
+        name = f"img{i:08d}.png"
+        PIL.Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(imgs / name)
+        PIL.Image.fromarray(rng.randint(0, 19, (32, 32), np.uint8)).save(segs / name)
+        labels[name] = np.asarray(render.CANONICAL_POSE_25, float).tolist()
+    with open(imgs / "dataset.json", "w") as f:
+        json.dump({"labels": list(labels.items())}, f)
+
+    out = tmp_path / "run"
+    train_main([
+        "--data", str(imgs), "--seg", str(segs), "--outdir", str(out),
+        "--batch", "2", "--kimg", "0.004", "--resolution", "32",
+        "--preset", "tiny", "--grid-kimg", "1", "--snap-kimg", "1",
+    ])
+    assert (out / "snapshot-final").exists()
+    assert any(p.name.startswith("fakes") for p in out.iterdir())
