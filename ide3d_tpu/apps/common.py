@@ -94,15 +94,13 @@ def load_generator(network: str):
         params = jax.jit(G.init)(jax.random.PRNGKey(seed))
         return G, params
 
-    from ..io.checkpoint import load_checkpoint
+    from ..io.checkpoint import config_from_jsonable, load_checkpoint
 
     params, meta = load_checkpoint(network)
-    cfg_dict = (meta.get("config") or {})
-    cfg_kwargs = {
-        k: v for k, v in cfg_dict.items()
-        if k in GeneratorConfig.__dataclass_fields__ and not isinstance(v, dict)
-    }
-    G = Ide3dGenerator(GeneratorConfig(**cfg_kwargs))
+    cfg = config_from_jsonable(meta.get("config") or {})
+    if not isinstance(cfg, GeneratorConfig):
+        cfg = GeneratorConfig()
+    G = Ide3dGenerator(cfg)
     if "G_ema" in params:
         params = params["G_ema"]
     return G, params

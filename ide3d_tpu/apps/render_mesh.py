@@ -72,7 +72,13 @@ def main(argv=None):
     sig = np.asarray(sigma_of(chunks)).reshape(-1)[: N**3].reshape(N, N, N)
     print(f"sigma range [{sig.min():.2f}, {sig.max():.2f}]")
 
-    verts, faces = marching_tetrahedra(sig, level=args.level)
+    level = args.level
+    if not (sig.min() < level < sig.max()):
+        level = float(np.percentile(sig, 98))
+        print(f"requested iso level {args.level} outside sigma range; using "
+              f"98th percentile {level:.2f}")
+
+    verts, faces = marching_tetrahedra(sig, level=level)
     print(f"mesh: {len(verts)} verts, {len(faces)} faces")
     save_obj(os.path.join(args.outdir, f"{args.seed}.obj"), verts, faces)
     save_ply(os.path.join(args.outdir, f"{args.seed}.ply"), verts, faces)

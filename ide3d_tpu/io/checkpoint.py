@@ -34,6 +34,38 @@ def _config_to_jsonable(cfg: Any):
     return cfg
 
 
+def config_from_jsonable(obj: Any, registry: Optional[dict] = None):
+    """Inverse of the config serialization: '__dataclass__'-tagged dicts are
+    reconstructed via the registry (defaults cover the framework's config types)."""
+    if registry is None:
+        from ..models.generator import GeneratorConfig
+        from ..models.discriminator import DiscriminatorConfig
+        from ..render.renderer import RenderParams
+
+        registry = {
+            "GeneratorConfig": GeneratorConfig,
+            "DiscriminatorConfig": DiscriminatorConfig,
+            "RenderParams": RenderParams,
+        }
+    if isinstance(obj, dict) and "__dataclass__" in obj:
+        cls = registry.get(obj["__dataclass__"])
+        fields = {k: config_from_jsonable(v, registry) for k, v in obj.items()
+                  if k != "__dataclass__"}
+        if cls is None:
+            return fields
+        valid = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in fields.items() if k in valid}
+        # json round-trips tuples as lists; dataclass fields that expect tuples
+        # (resample filters, pixel offsets) need them hashable again
+        kwargs = {k: tuple(v) if isinstance(v, list) else v for k, v in kwargs.items()}
+        return cls(**kwargs)
+    if isinstance(obj, dict):
+        return {k: config_from_jsonable(v, registry) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [config_from_jsonable(v, registry) for v in obj]
+    return obj
+
+
 def save_checkpoint(path: str, params, config: Any = None, step: Optional[int] = None):
     """Save params (+config json) under `path/` using orbax."""
     import orbax.checkpoint as ocp

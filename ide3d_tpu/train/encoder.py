@@ -106,14 +106,19 @@ def make_encoder_train_step(
                 w_avg = g_params["mapping"]["w_avg"][None, None, :]
                 w_samples = w_avg + (w_samples - w_avg) * tcfg.truncation
             w_samples = jax.lax.stop_gradient(w_samples)
-            gen_img = jax.lax.stop_gradient(
-                G.synthesis(g_params["synthesis"], w_samples, batch["c"])
+            gen_img, gen_seg = G.synthesis(
+                g_params["synthesis"], w_samples, batch["c"], return_seg=True
             )
+            gen_img = jax.lax.stop_gradient(gen_img)
             if bisenet is not None:
                 gen_ids, gen_seg_pm, _ = parse_seg(bp, gen_img)
                 gen_seg_pm = jax.lax.stop_gradient(gen_seg_pm)
             else:
-                gen_ids, gen_seg_pm = None, batch["seg"]
+                # no face parser available: pseudo-mask from the generator's own
+                # semantic branch (argmax one-hot, {-1,1})
+                ids = jnp.argmax(jax.lax.stop_gradient(gen_seg), axis=-1)
+                gen_ids = ids
+                gen_seg_pm = jax.nn.one_hot(ids, gen_seg.shape[-1]) * 2.0 - 1.0
 
             rec_ws = e_forward(params_e, gen_img, gen_seg_pm, g_params)
             loss_ws = L.smooth_l1(rec_ws, w_samples) * tcfg.w_ws

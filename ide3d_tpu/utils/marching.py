@@ -139,11 +139,14 @@ def save_ply(path: str, verts: np.ndarray, faces: np.ndarray):
             "property list uchar int vertex_indices\nend_header\n"
         )
         f.write(header.encode())
-        xyz = verts[:, ::-1].astype("<f4")  # (z,y,x) -> (x,y,z)
-        f.write(xyz.tobytes())
-        counts = np.full((len(faces), 1), 3, np.uint8)
-        fdata = np.concatenate(
-            [counts.view(np.uint8), faces.astype("<i4").view(np.uint8).reshape(len(faces), -1)],
-            axis=1,
-        )
-        f.write(fdata.tobytes())
+        if len(verts):
+            xyz = np.ascontiguousarray(verts[:, ::-1]).astype("<f4")  # (z,y,x) -> (x,y,z)
+            f.write(xyz.tobytes())
+        if len(faces):
+            counts = np.full((len(faces), 1), 3, np.uint8)
+            fdata = np.concatenate(
+                [counts.view(np.uint8),
+                 faces.astype("<i4").view(np.uint8).reshape(len(faces), -1)],
+                axis=1,
+            )
+            f.write(fdata.tobytes())

@@ -155,3 +155,24 @@ def test_painter_record_and_replay(tiny, tmp_path):
     frames = list(sess2.replay_log(log))
     assert len(frames) == 2
     assert frames[0][0].shape == (R, R, 3)
+
+
+def test_mask_canvas_tools():
+    from ide3d_tpu.apps.mask_canvas import MaskCanvas
+
+    c = MaskCanvas(size=64)
+    c.rect(10, 10, 30, 30, cls=13)
+    assert (c.mask[10:30, 10:30] == 13).all()
+    assert c.mask[0, 0] == 0
+    c.brush([(40, 40), (50, 50)], cls=1, radius=3)
+    assert c.mask[45, 45] == 1
+    c.fill(0, 0, cls=18)  # fill background
+    assert c.mask[0, 0] == 18
+    assert (c.mask[12, 12] == 13)  # enclosed region untouched
+    # undo chain unwinds all three ops
+    assert c.undo() and c.mask[0, 0] == 0
+    assert c.undo() and c.mask[45, 45] == 0
+    assert c.undo() and (c.mask == 0).all()
+    assert c.redo() and (c.mask[10:30, 10:30] == 13).all()
+    col = c.to_color()
+    assert col.shape == (64, 64, 3) and col.dtype == np.uint8

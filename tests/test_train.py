@@ -281,3 +281,23 @@ def test_train_gan_cli_smoke(tmp_path):
     ])
     assert (out / "snapshot-final").exists()
     assert any(p.name.startswith("fakes") for p in out.iterdir())
+
+
+def test_train_hybrid_encoder_cli_smoke(tmp_path):
+    """Drive the encoder-training CLI (synthetic branch only, tiny G ckpt)."""
+    from ide3d_tpu.apps.train_hybrid_encoder import main as etrain_main
+    from ide3d_tpu.io.checkpoint import save_checkpoint
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    ck = tmp_path / "g_ckpt"
+    save_checkpoint(str(ck), {"G_ema": g_params}, config=gcfg)
+
+    out = tmp_path / "erun"
+    etrain_main([
+        "--network", str(ck), "--outdir", str(out),
+        "--batch", "2", "--max-steps", "2", "--snap", "2",
+    ])
+    assert (out / "encoder-00000002").exists()
+    assert (out / "stats.jsonl").exists()
