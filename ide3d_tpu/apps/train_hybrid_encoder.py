@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--truncation", type=float, default=1.0)
     ap.add_argument("--no-gen-branch", action="store_true")
+    ap.add_argument("--vgg-weights", default=None,
+                    help="torch VGG19 state_dict for the perceptual loss")
+    ap.add_argument("--lpips-weights", default=None,
+                    help="torch LPIPS state_dict")
+    ap.add_argument("--arcface-weights", default=None,
+                    help="torch IR-SE50 state_dict for the ID loss")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -65,6 +71,30 @@ def main(argv=None):
         bis = BiSeNet(20)
         bp = import_bisenet(args.bisenet)
 
+    # Perceptual / ID loss callbacks (apps/train_hybrid_encoder.py:304-322 parity)
+    vgg_feats = lpips_fn = id_embed = None
+    if args.vgg_weights:
+        from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+        from ..metrics.features import VGG16Features
+
+        vgg = VGG16Features(cfg_name="vgg19")
+        vgg_p = state_dict_to_tree(load_torch_state_dict(args.vgg_weights))
+        vgg_feats = lambda x: vgg.feature_maps(vgg_p, x)
+    if args.lpips_weights:
+        from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+        from ..metrics.lpips import LPIPS
+
+        lp = LPIPS()
+        lp_p = state_dict_to_tree(load_torch_state_dict(args.lpips_weights))
+        lpips_fn = lambda x, y: lp(lp_p, x, y)
+    if args.arcface_weights:
+        from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+        from ..models.arcface import ArcFaceIRSE50
+
+        arc = ArcFaceIRSE50()
+        arc_p = state_dict_to_tree(load_torch_state_dict(args.arcface_weights))
+        id_embed = lambda x: arc.embed_faces(arc_p, x)
+
     n_dev = len(jax.devices())
     while args.batch % n_dev:
         n_dev -= 1
@@ -82,7 +112,10 @@ def main(argv=None):
     if bp is not None:
         bp = replicate(mesh, bp)
 
-    step_fn = make_encoder_train_step(E, G, tcfg, bisenet=bis, mesh=mesh)
+    step_fn = make_encoder_train_step(
+        E, G, tcfg, bisenet=bis, vgg_feats=vgg_feats, lpips_fn=lpips_fn,
+        id_embed=id_embed, mesh=mesh,
+    )
 
     loader = None
     if args.data:

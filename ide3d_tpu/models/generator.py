@@ -232,8 +232,19 @@ class Ide3dSynthesisNetwork:
         return_seg: bool = False,
         return_raw: bool = False,
         return_all: bool = False,
+        force_fp32: bool = False,
     ):
         cfg = self.cfg
+        if force_fp32 and cfg.dtype != "float32":
+            # API parity with the reference's force_fp32 flag (SURVEY.md §2.1):
+            # rebuild this (stateless) module over an fp32 config; params are
+            # shared, only the compute dtype changes.
+            fp32_cfg = dataclasses.replace(cfg, dtype="float32")
+            return Ide3dSynthesisNetwork(fp32_cfg)(
+                params, ws, c, render_params=render_params, noise_mode=noise_mode,
+                rng=rng, return_seg=return_seg, return_raw=return_raw,
+                return_all=return_all,
+            )
         rp = render_params or cfg.render
         assert rp.img_size == cfg.render_size
         assert ws.shape[1] == self.num_ws, (

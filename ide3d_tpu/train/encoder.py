@@ -65,9 +65,9 @@ def make_encoder_train_step(
     G: Ide3dGenerator,
     tcfg: EncoderTrainConfig,
     bisenet: Optional[BiSeNet] = None,
-    vgg_feats: Optional[Callable] = None,
-    lpips_feats: Optional[Callable] = None,
-    id_embed: Optional[Callable] = None,
+    vgg_feats: Optional[Callable] = None,  # x -> [feature maps]
+    lpips_fn: Optional[Callable] = None,  # (x, y) -> per-sample distances
+    id_embed: Optional[Callable] = None,  # x -> embeddings
     mesh=None,
 ):
     """Returns step(state, g_params, bisenet_params, batch, rng) -> (state, stats).
@@ -156,8 +156,8 @@ def make_encoder_train_step(
                 v = L.multiscale_feature_loss(vgg_feats, rec_img, real_img) * tcfg.w_vgg
                 stats["loss_vgg"] = v
                 total = total + v
-            if lpips_feats is not None:
-                lp = L.multiscale_feature_loss(lpips_feats, rec_img, real_img) * tcfg.w_lpips
+            if lpips_fn is not None:
+                lp = jnp.mean(lpips_fn(rec_img, jax.lax.stop_gradient(real_img))) * tcfg.w_lpips
                 stats["loss_lpips"] = lp
                 total = total + lp
             if id_embed is not None:

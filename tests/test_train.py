@@ -301,3 +301,42 @@ def test_train_hybrid_encoder_cli_smoke(tmp_path):
     ])
     assert (out / "encoder-00000002").exists()
     assert (out / "stats.jsonl").exists()
+
+
+def test_encoder_step_with_perceptual_losses():
+    """All 8 reference losses active (train_hybrid_encoder.py:271-334) with
+    random-weight perceptual backbones."""
+    from ide3d_tpu.metrics.features import VGG16Features
+    from ide3d_tpu.metrics.lpips import LPIPS
+    from ide3d_tpu.models.arcface import ArcFaceIRSE50
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=gcfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=gcfg.w_dim)
+    bis = BiSeNet(20)
+    bp = bis.init(jax.random.PRNGKey(3))
+    vgg = VGG16Features(cfg_name="vgg19")
+    vgg_p = vgg.init(jax.random.PRNGKey(4))
+    lp = LPIPS()
+    lp_p = lp.init(jax.random.PRNGKey(5))
+    arc = ArcFaceIRSE50()
+    arc_p = arc.init()
+
+    tcfg = EncoderTrainConfig()
+    state = init_encoder_state(jax.random.PRNGKey(1), E, tcfg)
+    step = make_encoder_train_step(
+        E, G, tcfg, bisenet=bis,
+        vgg_feats=lambda x: vgg.feature_maps(vgg_p, x),
+        lpips_fn=lambda x, y: lp(lp_p, x, y),
+        id_embed=lambda x: arc.embed_faces(arc_p, x),
+    )
+    state2, stats = step(state, g_params, bp, make_batch(2, 32), jax.random.PRNGKey(2))
+    expected = {"loss_ws", "loss_gen_l2", "loss_gen_entropy", "loss_cycle",
+                "loss_real_l2", "loss_vgg", "loss_lpips", "loss_id",
+                "loss_real_entropy", "loss_real_cycle"}
+    assert expected <= set(stats), set(stats)
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
