@@ -105,6 +105,10 @@ class MetricOptions:
     cache_dir: Optional[str] = None
     seed: int = 0
     progress: Optional[Callable[[int, int], None]] = None
+    # Optional jax.sharding.Mesh: shards generator+detector batches over the
+    # 'data' axis (the reference's NCCL-rank feature sharding,
+    # metrics/metric_utils.py:124-134, as one pjit program).
+    mesh: object = None
 
 
 def _cache_path(opts: MetricOptions, tag: str) -> Optional[str]:
@@ -158,10 +162,28 @@ def compute_feature_stats_for_generator(
     G, params = opts.G, opts.g_params
     rs = np.random.RandomState(opts.seed)
 
-    @jax.jit
-    def gen_and_detect(params, dp, z, c):
+    def _gen_and_detect(params, dp, z, c):
         img = G(params, z, c)
         return opts.detector(dp, img)
+
+    if opts.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = opts.mesh
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        gen_and_detect = jax.jit(
+            _gen_and_detect,
+            in_shardings=(repl, repl, data, data),
+            out_shardings=data,
+        )
+        from ..parallel import replicate
+
+        params = replicate(mesh, params)
+        dp_repl = replicate(mesh, opts.detector_params)
+    else:
+        gen_and_detect = jax.jit(_gen_and_detect)
+        dp_repl = opts.detector_params
 
     B = opts.batch_size
     while not stats.is_full():
@@ -173,7 +195,7 @@ def compute_feature_stats_for_generator(
             c = jnp.asarray(np.stack([opts.dataset[int(i)][-1] for i in idx]))
         else:
             c = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25))
-        feats = gen_and_detect(params, opts.detector_params, z, c)
+        feats = gen_and_detect(params, dp_repl, z, c)
         stats.append(np.asarray(feats))
         if opts.progress:
             opts.progress(stats.num_items, opts.num_items)

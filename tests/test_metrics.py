@@ -146,3 +146,17 @@ def test_equivariance_metrics_smoke():
     rec = calc_metric("eqr", G=G, g_params=params, detector=pixel_features,
                       detector_params={}, num_items=2, batch_size=1)
     assert np.isfinite(rec["results"]["eqr_psnr_db"])
+
+
+def test_fid_sharded_over_mesh():
+    """Device-sharded feature extraction (the NCCL metric-sharding parity path)."""
+    from ide3d_tpu.parallel import create_mesh
+
+    G, params = tiny_G()
+    ds = FakeDataset(n=16, res=32)
+    mesh = create_mesh()
+    rec = calc_metric(
+        "fid", G=G, g_params=params, dataset=ds, detector=pixel_features,
+        detector_params={}, num_items=16, batch_size=8, mesh=mesh,
+    )
+    assert np.isfinite(rec["results"]["fid"])
