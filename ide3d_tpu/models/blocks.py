@@ -13,10 +13,17 @@ Reference contracts:
 
 The exact interior of the pickled vb block is not recoverable from the reference tree
 (the class lives only inside the checkpoint pickle — see SURVEY.md "Critical repo
-fact"); this is a clean-room design satisfying every observable contract: single
-w-consuming conv per block (so that 7 plane blocks + 1 shared plane-head w = the
-8 geometry rows that Painter/run_UI.py:198 and HybridEncoder(n_latents_geo=8) pin
-down), skip-accumulated plane stacks, semantic conditioning of the texture head.
+fact"). Two interiors are provided:
+
+  * the default clean-room design (single w-consuming conv + SPADE conditioning, so
+    that 7 plane blocks + 1 shared plane-head w = the 8 geometry rows that
+    Painter/run_UI.py:198 and HybridEncoder(n_latents_geo=8) pin down), and
+  * `ref_compat=True`: the repo-visible `SegSynthesisBlock` interior
+    (inversion/networks.py:1008-1139) — conv0 (upsampling) + conv1, dual
+    ToRGB/ToSEG heads sharing one w row, skip planes upsampled with the FIR filter,
+    condition_img accepted-but-unused (the repo-visible layer swallows it via
+    **unused_kwargs, networks.py:347). This variant can HOST reference checkpoint
+    weights 1:1 (io/torch_import.import_generator) — the round-2 parity gate.
 
 Blocks run in a configurable compute dtype (bf16 on TPU); accumulated plane/RGB
 outputs stay fp32, mirroring the reference's fp16/fp32 split (networks.py:856-857).
@@ -125,6 +132,39 @@ class SegSynthesisBlock:
     resample_filter: tuple = DEFAULT_RESAMPLE_FILTER
     conv_clamp: Optional[float] = 256.0
     dtype: str = "float32"
+    # ref_compat=True switches to the reference two-conv interior (see module
+    # docstring); param names then mirror the torch state_dict (conv0/conv1).
+    ref_compat: bool = False
+
+    @property
+    def num_conv(self) -> int:
+        """w rows consumed by convs (reference `num_conv`, networks.py:997-1030)."""
+        if not self.ref_compat:
+            return 1
+        return 1 if self.in_channels == 0 else 2
+
+    @property
+    def num_ws_rows(self) -> int:
+        """w rows this block READS (num_conv + 1 shared ToRGB/ToSEG row)."""
+        return self.num_conv + 1
+
+    def _ref_layers(self):
+        conv0 = None
+        if self.in_channels != 0:
+            conv0 = SynthesisLayer(
+                self.in_channels, self.out_channels, self.w_dim, self.resolution,
+                up=self.up, resample_filter=self.resample_filter,
+                conv_clamp=self.conv_clamp,
+            )
+        conv1 = SynthesisLayer(
+            self.out_channels, self.out_channels, self.w_dim, self.resolution,
+            conv_clamp=self.conv_clamp,
+        )
+        torgb = ToRGBLayer(self.out_channels, self.img_plane_channels, self.w_dim,
+                           conv_clamp=self.conv_clamp)
+        toseg = ToRGBLayer(self.out_channels, self.seg_plane_channels, self.w_dim,
+                           conv_clamp=self.conv_clamp)
+        return conv0, conv1, torgb, toseg
 
     def _layers(self):
         conv = SynthesisLayer(
@@ -147,6 +187,22 @@ class SegSynthesisBlock:
         return conv, torgb, toseg, spade_gamma, spade_beta
 
     def init(self, key: jax.Array) -> dict:
+        if self.ref_compat:
+            conv0, conv1, torgb, toseg = self._ref_layers()
+            keys = jax.random.split(key, 5)
+            p = {
+                "conv1": conv1.init(keys[1]),
+                "torgb": torgb.init(keys[2]),
+                "toseg": toseg.init(keys[3]),
+            }
+            if conv0 is not None:
+                p["conv0"] = conv0.init(keys[0])
+            if self.in_channels == 0:
+                p["const"] = jax.random.normal(
+                    keys[4], (self.resolution, self.resolution, self.out_channels),
+                    jnp.float32,
+                )
+            return p
         conv, torgb, toseg, sg, sb = self._layers()
         keys = jax.random.split(key, 6)
         p = {
@@ -162,6 +218,50 @@ class SegSynthesisBlock:
             )
         return p
 
+    def _call_ref(
+        self,
+        params: dict,
+        x: Optional[jax.Array],
+        img_v: Optional[jax.Array],
+        ws: jax.Array,  # [B, num_conv + 1, w_dim]
+        condition_img: Optional[jax.Array],
+        noise_mode: str,
+        noise_key: Optional[jax.Array],
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Reference interior (inversion/networks.py:1053-1139): conv0(up) -> conv1
+        -> shared-w ToRGB/ToSEG; incoming skip planes upsampled with the FIR filter;
+        condition_img ignored (reference layer swallows it, networks.py:347)."""
+        conv0, conv1, torgb, toseg = self._ref_layers()
+        dtype = jnp.dtype(self.dtype)
+        f = setup_filter(self.resample_filter)
+        seg_v = condition_img
+
+        nk0 = nk1 = None
+        if noise_key is not None:
+            nk0, nk1 = jax.random.split(noise_key)
+
+        wi = 0
+        if self.in_channels == 0:
+            B = ws.shape[0]
+            x = jnp.broadcast_to(params["const"].astype(dtype)[None], (B,) + params["const"].shape)
+        else:
+            x = x.astype(dtype)
+            x = conv0(params["conv0"], x, ws[:, wi], noise_mode=noise_mode, noise_key=nk0)
+            wi += 1
+        x = conv1(params["conv1"], x, ws[:, wi], noise_mode=noise_mode, noise_key=nk1)
+        w_shared = ws[:, wi + 1]
+
+        if img_v is not None and img_v.shape[1] * 2 == x.shape[1]:
+            img_v = upsample2d(img_v, f, up=2)
+        if seg_v is not None and seg_v.shape[1] * 2 == x.shape[1]:
+            seg_v = upsample2d(seg_v, f, up=2)
+
+        y = torgb(params["torgb"], x, w_shared).astype(jnp.float32)
+        img_v = y if img_v is None else img_v + y
+        y_seg = toseg(params["toseg"], x, w_shared).astype(jnp.float32)
+        seg_v = y_seg if seg_v is None else seg_v + y_seg
+        return x, img_v, seg_v
+
     def __call__(
         self,
         params: dict,
@@ -172,6 +272,10 @@ class SegSynthesisBlock:
         noise_mode: str = "const",
         noise_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if self.ref_compat:
+            return self._call_ref(
+                params, x, img_v, ws2, condition_img, noise_mode, noise_key
+            )
         conv, torgb, toseg, spade_gamma, spade_beta = self._layers()
         dtype = jnp.dtype(self.dtype)
         f = setup_filter(self.resample_filter)

@@ -66,9 +66,28 @@ class GeneratorConfig:
     # apps/infer_face_animation_avatar.py:114 via cond_img).
     use_encoder: bool = False
     encoder_predicts_camera: bool = True
+    # --- reference-checkpoint compatibility (round-2 parity gate) ---------------
+    # vb_ref_compat=True uses the reference two-conv vb interior
+    # (SegSynthesisBlock(ref_compat=True)) with the reference w-row slicing
+    # convention (extract_shapes.py:110-124: each block reads num_conv+1 rows and
+    # advances num_conv; the shared ToRGB/ToSEG row overlaps the next stack).
+    vb_ref_compat: bool = False
+    # raw_head: "torgb" = dedicated w-consuming raw-RGB head (clean-room design);
+    # "slice" = raw image is the first 3 feature channels (EG3D convention, used by
+    # imported reference checkpoints where no raw head exists in the state_dict).
+    raw_head: str = "torgb"
+    # Explicit per-block channel/resolution lists for imported checkpoints whose
+    # schedule does not follow the channel_base formula. None = formula.
+    vb_resolutions_override: Optional[tuple] = None
+    vb_channels_override: Optional[tuple] = None
+    sr_resolutions_override: Optional[tuple] = None
+    sr_channels_override: Optional[tuple] = None
+    mapping_num_layers: int = 8
 
     @property
     def voxel_block_resolutions(self) -> tuple:
+        if self.vb_resolutions_override is not None:
+            return tuple(self.vb_resolutions_override)
         res, out = [], 4
         while out <= self.plane_resolution:
             res.append(out)
@@ -78,6 +97,8 @@ class GeneratorConfig:
     @property
     def block_resolutions(self) -> tuple:
         """Superres stack: render_size (refine, no upsample) then x2 up to output."""
+        if self.sr_resolutions_override is not None:
+            return tuple(self.sr_resolutions_override)
         res, out = [], self.render_size
         while out <= self.img_resolution:
             res.append(out)
@@ -85,9 +106,13 @@ class GeneratorConfig:
         return tuple(res)
 
     def vb_channels(self, res: int) -> int:
+        if self.vb_channels_override is not None:
+            return self.vb_channels_override[self.voxel_block_resolutions.index(res)]
         return min(self.channel_base // res, self.channel_max)
 
     def sr_channels(self, res: int) -> int:
+        if self.sr_channels_override is not None:
+            return self.sr_channels_override[self.block_resolutions.index(res)]
         return min(self.sr_channel_base // res, self.sr_channel_max)
 
 
@@ -114,13 +139,31 @@ class Ide3dSynthesisNetwork:
         return self.cfg.w_dim
 
     @property
+    def _vb_num_conv_total(self) -> int:
+        """Total w-row advance of the vb stack (reference slicing convention)."""
+        return sum(
+            self._vb_block(i, res).num_conv
+            for i, res in enumerate(self.voxel_block_resolutions)
+        )
+
+    @property
     def num_ws(self) -> int:
-        # 7 vb convs + 1 shared plane head + 1 raw-RGB head
+        if self.cfg.vb_ref_compat:
+            # reference convention: vb stack advances sum(num_conv); its shared
+            # ToRGB/ToSEG row overlaps the first superres conv row; superres
+            # advances 2 per block + 1 final ToRGB (networks.py:1178-1193).
+            n = self._vb_num_conv_total + 2 * len(self.block_resolutions) + 1
+            if self.cfg.raw_head == "torgb":
+                n += 1
+            return n
+        # clean-room: 7 vb convs + 1 shared plane head + 1 raw-RGB head
         # + 2 convs per superres block + 1 final ToRGB
         return len(self.voxel_block_resolutions) + 2 + 2 * len(self.block_resolutions) + 1
 
     @property
     def num_ws_geo(self) -> int:
+        if self.cfg.vb_ref_compat:
+            return self._vb_num_conv_total + 1
         return len(self.voxel_block_resolutions) + 1  # 8
 
     @property
@@ -131,8 +174,9 @@ class Ide3dSynthesisNetwork:
 
     def _vb_block(self, i: int, res: int) -> SegSynthesisBlock:
         cfg = self.cfg
+        prev_res = self.voxel_block_resolutions[i - 1] if i > 0 else None
         return SegSynthesisBlock(
-            in_channels=0 if i == 0 else cfg.vb_channels(res // 2),
+            in_channels=0 if i == 0 else cfg.vb_channels(prev_res),
             out_channels=cfg.vb_channels(res),
             w_dim=cfg.w_dim,
             resolution=res,
@@ -140,18 +184,20 @@ class Ide3dSynthesisNetwork:
             seg_plane_channels=3 * cfg.seg_channels,
             up=1 if i == 0 else 2,
             dtype=cfg.dtype,
+            ref_compat=cfg.vb_ref_compat,
         )
 
     def _sr_block(self, i: int, res: int) -> SynthesisBlock:
         cfg = self.cfg
-        in_ch = cfg.feature_channels if i == 0 else cfg.sr_channels(res // 2)
+        prev_res = self.block_resolutions[i - 1] if i > 0 else None
+        in_ch = cfg.feature_channels if i == 0 else cfg.sr_channels(prev_res)
         return SynthesisBlock(
             in_channels=in_ch,
             out_channels=cfg.sr_channels(res),
             w_dim=cfg.w_dim,
             resolution=res,
             img_channels=cfg.img_channels,
-            up=1 if i == 0 else 2,
+            up=1 if (i == 0 and res == cfg.render_size) else 2,
             dtype=cfg.dtype,
         )
 
@@ -169,7 +215,8 @@ class Ide3dSynthesisNetwork:
         for i, res in enumerate(self.voxel_block_resolutions):
             params[f"vb{res}"] = self._vb_block(i, res).init(keys[i])
         params["renderer"] = self.renderer.init(keys[n_vb])
-        params["raw_rgb"] = self._raw_rgb().init(keys[n_vb + 1])
+        if cfg.raw_head == "torgb":
+            params["raw_rgb"] = self._raw_rgb().init(keys[n_vb + 1])
         for i, res in enumerate(self.block_resolutions):
             params[f"b{res}"] = self._sr_block(i, res).init(keys[n_vb + 2 + i])
         return params
@@ -184,9 +231,25 @@ class Ide3dSynthesisNetwork:
         noise_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Run the vb stack: geometry rows of ws -> (img_v, seg_v) plane stacks."""
+        x = img_v = seg_v = None
+        if self.cfg.vb_ref_compat:
+            # reference slicing: read num_conv+1 rows, advance num_conv
+            # (extract_shapes.py:115-120).
+            w_idx = 0
+            for i, res in enumerate(self.voxel_block_resolutions):
+                nk = None
+                if noise_key is not None:
+                    nk = jax.random.fold_in(noise_key, i)
+                blk = self._vb_block(i, res)
+                ws_blk = ws[:, w_idx : w_idx + blk.num_conv + 1]
+                x, img_v, seg_v = blk(
+                    params[f"vb{res}"], x, img_v, ws_blk,
+                    condition_img=seg_v, noise_mode=noise_mode, noise_key=nk,
+                )
+                w_idx += blk.num_conv
+            return img_v, seg_v
         n_vb = len(self.voxel_block_resolutions)
         w_planes = ws[:, n_vb]  # shared head row (= row 7)
-        x = img_v = seg_v = None
         for i, res in enumerate(self.voxel_block_resolutions):
             nk = None
             if noise_key is not None:
@@ -209,7 +272,12 @@ class Ide3dSynthesisNetwork:
     ) -> jax.Array:
         n_vb = len(self.voxel_block_resolutions)
         x, img = feature, img_raw
-        base = n_vb + 2  # first superres conv row (= 9)
+        if self.cfg.vb_ref_compat:
+            # first superres conv row overlaps the vb shared head row
+            # (reference convention); +1 if a dedicated raw head consumed a row.
+            base = self._vb_num_conv_total + (1 if self.cfg.raw_head == "torgb" else 0)
+        else:
+            base = n_vb + 2  # first superres conv row (= 9)
         for i, res in enumerate(self.block_resolutions):
             nk = None
             if noise_key is not None:
@@ -274,9 +342,15 @@ class Ide3dSynthesisNetwork:
         )
 
         n_vb = len(self.voxel_block_resolutions)
-        img_raw = self._raw_rgb()(
-            params["raw_rgb"], rout["feature"].astype(jnp.dtype(cfg.dtype)), ws[:, n_vb + 1]
-        ).astype(jnp.float32)
+        if cfg.raw_head == "slice":
+            # EG3D convention: the first 3 feature channels ARE the raw RGB
+            # (imported reference checkpoints have no dedicated raw head).
+            img_raw = rout["feature"][..., :3].astype(jnp.float32)
+        else:
+            raw_row = self._vb_num_conv_total if cfg.vb_ref_compat else n_vb + 1
+            img_raw = self._raw_rgb()(
+                params["raw_rgb"], rout["feature"].astype(jnp.dtype(cfg.dtype)), ws[:, raw_row]
+            ).astype(jnp.float32)
 
         img = self.superresolve(
             params, rout["feature"], img_raw, ws, noise_mode, noise_key
@@ -323,6 +397,7 @@ class Ide3dGenerator:
             c_dim=self.cfg.c_dim,
             w_dim=self.cfg.w_dim,
             num_ws=self.synthesis.num_ws,
+            num_layers=self.cfg.mapping_num_layers,
         )
 
     @property
