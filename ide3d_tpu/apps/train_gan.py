@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--ada-target", type=float, default=0.6)
     ap.add_argument("--no-ada", action="store_true")
     ap.add_argument("--r1-gamma", type=float, default=1.0)
+    ap.add_argument("--pl-weight", type=float, default=0.0,
+                    help="StyleGAN2 path-length regularization weight (0 = off)")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--preset", choices=["full", "tiny"], default="full",
@@ -49,7 +51,7 @@ def main(argv=None):
     from ..parallel import create_mesh, replicate, shard_batch
     from ..parallel.stats import StatsAccumulator
     from ..train import GanTrainConfig, init_gan_state, make_gan_train_step
-    from ..train.augment import AdaState, ada_accumulate, ada_init, ada_update, augment_pipe
+    from ..train.augment import AdaState, ada_accumulate, ada_init, ada_update
     from ..train.gan import GanTrainState, d_input_channels
     from ..utils.seg import mask2color
     from .common import save_image_grid
@@ -71,7 +73,8 @@ def main(argv=None):
         )
     else:
         gcfg = GeneratorConfig(img_resolution=args.resolution)
-    tcfg = GanTrainConfig(r1_gamma=args.r1_gamma)
+    tcfg = GanTrainConfig(r1_gamma=args.r1_gamma, use_ada=not args.no_ada,
+                          pl_weight=args.pl_weight)
     G = Ide3dGenerator(gcfg)
     D = Discriminator(
         DiscriminatorConfig(
@@ -125,19 +128,22 @@ def main(argv=None):
 
     while cur_img < args.kimg * 1000:
         batch = next(loader)
-        key, k_step, k_aug = jax.random.split(key, 3)
-        if not args.no_ada and ada_p > 0:
-            batch["img"] = np.asarray(
-                augment_pipe(k_aug, jnp.asarray(batch["img"]), jnp.asarray(ada_p))
-            )
+        key, k_step = jax.random.split(key)
         sbatch = shard_batch(mesh, batch)
-        state, stats = step_fn(state, sbatch, jax.device_put(
-            k_step, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
+        # ADA runs INSIDE the jitted step (same per-sample transform for real and
+        # fake D inputs, seg warped with the RGB); ada_p is a traced scalar so
+        # controller updates never recompile.
+        repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        state, stats = step_fn(
+            state, sbatch, jax.device_put(k_step, repl),
+            jax.device_put(jnp.asarray(ada_p, jnp.float32), repl),
+        )
         cur_img += args.batch
 
         acc.update({k: v for k, v in stats.items()})
         if not args.no_ada:
-            ada = ada_accumulate(ada, np.asarray(stats["real_logits"])[None])
+            # per-sample sign statistic computed in-jit over the global batch
+            ada = ada_accumulate(ada, float(np.asarray(stats["real_signs"])), args.batch)
             if (cur_img // args.batch) % 4 == 0:
                 ada = ada_update(ada, args.batch * 4, target=args.ada_target)
                 ada_p = float(ada.p)

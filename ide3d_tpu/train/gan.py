@@ -9,8 +9,12 @@ paper's seg-conditioned D) and standard StyleGAN2 training:
   * R1 gradient penalty on real images via jax.grad-of-grad (replacing
     conv2d_gradfix — JAX double-backward just works),
   * G_ema tracked functionally,
-  * generator-pose conditioning swap (generator renders at a camera resampled from
-    the dataset pose distribution — the EG3D/IDE-3D convention).
+  * generator-pose conditioning swap: with prob `gpc_swap_prob` the MAPPING is
+    conditioned on another sample's camera while rendering (and D conditioning)
+    stay at the true camera — the EG3D generator-pose-conditioning convention,
+  * ADA inside the jitted D/G losses: the same per-sample transform hits real AND
+    fake inputs (and, geometrically, the seg channels) — train/augment.py,
+  * optional StyleGAN2 lazy path-length regularization on G (pl_weight > 0).
 
 Parallelism: pure DP over the mesh 'data' axis; the step is jitted with batch
 sharded on dim 0 and params replicated — XLA inserts the gradient all-reduce that
@@ -28,6 +32,7 @@ import optax
 
 from ..models.discriminator import Discriminator, DiscriminatorConfig
 from ..models.generator import GeneratorConfig, Ide3dGenerator
+from .augment import AugmentConfig, augment_d_input
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +47,16 @@ class GanTrainConfig:
     use_seg_d: bool = True  # D also sees the semantic channels (paper Sec. 3.2)
     style_mixing_prob: float = 0.9  # StyleGAN2 mixing regularization
     w_avg_beta: float = 0.995  # mapping w_avg EMA (networks.py:257)
+    # EG3D generator-pose-conditioning swap probability (mapping sees a camera
+    # resampled from the batch pose distribution; rendering stays at the true c).
+    gpc_swap_prob: float = 0.5
+    # ADA: applied inside the D/G losses when the step's ada_p argument > 0.
+    use_ada: bool = True
+    aug: AugmentConfig = AugmentConfig()
+    # StyleGAN2 lazy path-length regularization (0 = off).
+    pl_weight: float = 0.0
+    pl_interval: int = 4
+    pl_decay: float = 0.01
 
 
 class GanTrainState(NamedTuple):
@@ -51,6 +66,8 @@ class GanTrainState(NamedTuple):
     params_g_ema: Any
     opt_g: Any
     opt_d: Any
+    pl_mean: Any = 0.0  # scalar; kept as a plain float default to avoid backend
+    # initialization at import time (init_gan_state provides the array)
 
 
 def d_input_channels(tcfg: GanTrainConfig, gcfg: GeneratorConfig) -> int:
@@ -80,6 +97,7 @@ def init_gan_state(
         params_g_ema=jax.tree_util.tree_map(jnp.copy, params_g),
         opt_g=opt_g.init(params_g),
         opt_d=opt_d.init(params_d),
+        pl_mean=jnp.zeros(()),
     )
 
 
@@ -106,14 +124,22 @@ def make_gan_train_step(
     """
     opt_g, opt_d = make_optimizers(tcfg)
 
-    def synth_fake(params_g, z, c, rng):
-        k_mix, k_z2, k_cut, k_noise = jax.random.split(rng, 4)
-        ws = G.mapping(params_g["mapping"], z, c)
+    def _map_ws(params_g, z, c, rng):
+        """Mapping with pose-conditioning swap + style mixing."""
+        k_swap, k_mix, k_z2, k_cut = jax.random.split(rng, 4)
+        # EG3D generator-pose conditioning: with prob gpc_swap_prob, condition the
+        # mapping on another sample's camera (roll of the batch = a draw from the
+        # dataset pose distribution); rendering uses the true c.
+        c_map = c
+        if tcfg.gpc_swap_prob > 0 and c is not None:
+            swap = jax.random.uniform(k_swap, (z.shape[0], 1)) < tcfg.gpc_swap_prob
+            c_map = jnp.where(swap, jnp.roll(c, 1, axis=0), c)
+        ws = G.mapping(params_g["mapping"], z, c_map)
         if tcfg.style_mixing_prob > 0:
             # StyleGAN2 mixing regularization: with prob p, rows >= cutoff come
             # from a second latent.
             z2 = jax.random.normal(k_z2, z.shape)
-            ws2 = G.mapping(params_g["mapping"], z2, c)
+            ws2 = G.mapping(params_g["mapping"], z2, c_map)
             num_ws = ws.shape[1]
             cutoff = jax.random.randint(k_cut, (z.shape[0], 1), 1, num_ws)
             do_mix = (
@@ -122,20 +148,26 @@ def make_gan_train_step(
             rows = jnp.arange(num_ws)[None, :]
             take2 = (rows >= cutoff) & do_mix
             ws = jnp.where(take2[..., None], ws2, ws)
+        return ws
+
+    def synth_fake(params_g, z, c, rng):
+        k_map, k_noise = jax.random.split(rng)
+        ws = _map_ws(params_g, z, c, k_map)
         out = G.synthesis(
             params_g["synthesis"], ws, c, noise_mode="random", rng=k_noise,
             return_all=True,
         )
         return out
 
-    def g_loss_fn(params_g, params_d, z, c, rng):
-        out = synth_fake(params_g, z, c, rng)
-        d_in = _d_input(tcfg, out["img"], out["img_raw"], out["seg"])
-        logits = D(params_d, d_in, c)
-        loss = jnp.mean(jax.nn.softplus(-logits))
-        return loss, {"loss_g": loss, "fake_logits": logits.mean()}
+    def _d_triple_fake(out):
+        R = out["img"].shape[1]
+        raw_up = jax.image.resize(
+            out["img_raw"], (out["img"].shape[0], R, R, out["img_raw"].shape[-1]),
+            "bilinear",
+        )
+        return out["img"], raw_up, out["seg"]
 
-    def _real_input(batch):
+    def _d_triple_real(batch):
         # Raw input for D's second branch = downsampled real image, the standard
         # dual-discrimination trick (EG3D) the IDE-3D D follows.
         real_img = batch["img"]
@@ -143,22 +175,50 @@ def make_gan_train_step(
         real_raw = jax.image.resize(
             real_img, (real_img.shape[0], rs, rs, real_img.shape[-1]), "bilinear"
         )
-        return _d_input(tcfg, real_img, real_raw, batch["seg"])
+        raw_up = jax.image.resize(real_raw, real_img.shape, "bilinear")
+        return real_img, raw_up, batch["seg"]
 
-    def d_loss_fn(params_d, params_g, batch, z, rng):
+    def _d_in(triple, ada_key, ada_p):
+        """Concatenate the D input, applying ADA inside the loss (same transform
+        family for real and fake; seg warped with the RGB — VERDICT item 3)."""
+        img, raw_up, seg = triple
+        if tcfg.use_ada and ada_key is not None:
+            img, raw_up, seg = augment_d_input(ada_key, img, raw_up, seg, ada_p, tcfg.aug)
+        parts = [img, raw_up]
+        if tcfg.use_seg_d:
+            parts.append(seg)
+        return jnp.concatenate(parts, axis=-1)
+
+    def g_loss_fn(params_g, params_d, z, c, rng, ada_p):
+        k_synth, k_aug = jax.random.split(rng)
+        out = synth_fake(params_g, z, c, k_synth)
+        d_in = _d_in(_d_triple_fake(out), k_aug, ada_p)
+        logits = D(params_d, d_in, c)
+        loss = jnp.mean(jax.nn.softplus(-logits))
+        return loss, {"loss_g": loss, "fake_logits": logits.mean()}
+
+    def d_loss_fn(params_d, params_g, batch, z, rng, ada_p):
         c = batch["c"]
-        out = synth_fake(params_g, z, c, rng)
-        fake_in = _d_input(tcfg, out["img"], out["img_raw"], out["seg"])
+        k_synth, k_aug_f, k_aug_r = jax.random.split(rng, 3)
+        out = synth_fake(params_g, z, c, k_synth)
+        fake_in = _d_in(_d_triple_fake(out), k_aug_f, ada_p)
         fake_logits = D(params_d, jax.lax.stop_gradient(fake_in), c)
-        real_logits = D(params_d, _real_input(batch), c)
+        real_logits = D(params_d, _d_in(_d_triple_real(batch), k_aug_r, ada_p), c)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(jax.nn.softplus(-real_logits))
-        return loss, {"loss_d": loss, "real_logits": real_logits.mean()}
+        return loss, {
+            "loss_d": loss,
+            "real_logits": real_logits.mean(),
+            # per-sample sign statistic for the ADA controller (mean over the
+            # GLOBAL batch under jit; augment.ada_accumulate consumes it)
+            "real_signs": jnp.sign(real_logits).mean(),
+        }
 
     def r1_penalty_fn(params_d, batch):
         """R1 = E||grad_x D(x_real)||^2, differentiated w.r.t. D's params — the
         double-backward that needed conv2d_gradfix in torch (SURVEY.md §2.2) and is
-        native jax.grad-of-grad here."""
-        real_in = _real_input(batch)
+        native jax.grad-of-grad here. Computed on clean reals (ADA-free), the
+        stylegan2-ada convention."""
+        real_in = _d_in(_d_triple_real(batch), None, 0.0)
         c = batch["c"]
 
         def d_sum(x):
@@ -167,16 +227,42 @@ def make_gan_train_step(
         grad_x = jax.grad(d_sum)(real_in)
         return jnp.sum(jnp.square(grad_x)) / real_in.shape[0]
 
-    def step(state: GanTrainState, batch: Dict[str, jax.Array], rng: jax.Array):
-        kz_g, kz_d, kr_g, kr_d = jax.random.split(rng, 4)
+    def pl_penalty_fn(params_g, z, c, rng, pl_mean):
+        """StyleGAN2 path-length regularization: ws-jacobian norm of the synthesis
+        output pulled toward its running mean. Returns (penalty, new_pl_lengths)."""
+        k_map, k_noise, k_y = jax.random.split(rng, 3)
+        ws = _map_ws(params_g, z, c, k_map)
+
+        def synth_ws(ws_in):
+            img = G.synthesis(
+                params_g["synthesis"], ws_in, c, noise_mode="random", rng=k_noise
+            )
+            noise = jax.random.normal(k_y, img.shape) / jnp.sqrt(
+                jnp.asarray(img.shape[1] * img.shape[2], jnp.float32)
+            )
+            return jnp.sum(img * noise)
+
+        grads = jax.grad(synth_ws)(ws)
+        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grads), axis=2), axis=1))
+        penalty = jnp.mean(jnp.square(pl_lengths - pl_mean))
+        return penalty, pl_lengths.mean()
+
+    def step(
+        state: GanTrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        ada_p: jax.Array = 0.0,
+    ):
+        kz_g, kz_d, kr_g, kr_d, kr_pl = jax.random.split(rng, 5)
         B = batch["img"].shape[0]
         z_g = jax.random.normal(kz_g, (B, G.cfg.z_dim))
         z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
+        ada_p = jnp.asarray(ada_p, jnp.float32)
 
         # --- D step with lazy R1 (full-strength penalty every r1_interval steps,
         # StyleGAN2 lazy regularization; both cond branches compile once).
         (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.params_d, state.params_g, batch, z_d, kr_d
+            state.params_d, state.params_g, batch, z_d, kr_d, ada_p
         )
 
         def with_r1(grads):
@@ -197,8 +283,35 @@ def make_gan_train_step(
 
         # --- G step
         (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_g, params_d, z_g, batch["c"], kr_g
+            state.params_g, params_d, z_g, batch["c"], kr_g, ada_p
         )
+
+        # --- lazy path-length regularization (StyleGAN2; off when pl_weight == 0)
+        pl_mean = jnp.asarray(state.pl_mean, jnp.float32)
+        if tcfg.pl_weight > 0:
+
+            def with_pl(args):
+                grads, pl_mean_in = args
+                (pl_val, pl_len), pl_grads = jax.value_and_grad(
+                    pl_penalty_fn, has_aux=True
+                )(state.params_g, z_g, batch["c"], kr_pl, pl_mean_in)
+                scale = tcfg.pl_weight * tcfg.pl_interval
+                grads = jax.tree_util.tree_map(
+                    lambda g, r: g + scale * r, grads, pl_grads
+                )
+                new_mean = pl_mean_in + tcfg.pl_decay * (pl_len - pl_mean_in)
+                return grads, pl_val, new_mean
+
+            def without_pl(args):
+                grads, pl_mean_in = args
+                return grads, jnp.zeros(()), pl_mean_in
+
+            apply_pl = (state.step % tcfg.pl_interval) == 0
+            g_grads, pl_val, pl_mean = jax.lax.cond(
+                apply_pl, with_pl, without_pl, (g_grads, pl_mean)
+            )
+            g_stats = {**g_stats, "pl_penalty": pl_val}
+
         updates_g, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
 
@@ -228,6 +341,7 @@ def make_gan_train_step(
             params_g_ema=ema,
             opt_g=opt_g_state,
             opt_d=opt_d_state,
+            pl_mean=pl_mean,
         )
         return new_state, stats
 
@@ -240,7 +354,7 @@ def make_gan_train_step(
     data = NamedSharding(mesh, P("data"))
     return jax.jit(
         step,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

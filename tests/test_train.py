@@ -77,23 +77,58 @@ def test_gan_train_step_updates_params():
     assert np.abs(ema - w_before).max() < np.abs(w_after - w_before).max() + 1e-9
 
 
-def test_gan_train_step_sharded_over_mesh(devices):
+def test_gan_train_step_sharded_matches_single_device(devices):
+    """VERDICT item 8: the mesh-sharded step must be NUMERICALLY EQUIVALENT to the
+    single-device step (same params/batch/rng), not merely finite — a wrong
+    psum/sharding spec fails this, tolerance covers reduction reordering."""
     if len(devices) < 2:
         pytest.skip("needs multiple devices")
     gcfg = tiny_gcfg()
-    tcfg = GanTrainConfig(r1_interval=1)
+    tcfg = GanTrainConfig(r1_interval=1, pl_weight=2.0, pl_interval=1)
     G = Ide3dGenerator(gcfg)
     D = Discriminator(DiscriminatorConfig(
         img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
         channel_base=512, channel_max=32, dtype="float32"))
+    batch = make_batch(2 * len(devices), 32)
+    rng = jax.random.PRNGKey(1)
+
+    # single-device reference run (ADA exercised at p=0.5)
+    state_1 = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    step_1 = make_gan_train_step(G, D, tcfg)
+    state1_out, stats_1 = step_1(state_1, batch, rng, 0.5)
+
+    # mesh-sharded run with identical inputs
     mesh = create_mesh(len(devices))
-    state = replicate(mesh, init_gan_state(jax.random.PRNGKey(0), G, D, tcfg))
-    batch = shard_batch(mesh, make_batch(2 * len(devices), 32))
-    rng = jax.device_put(jax.random.PRNGKey(1),
-                         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    step = make_gan_train_step(G, D, tcfg, mesh=mesh)
-    state2, stats = step(state, batch, rng)
-    assert np.isfinite(np.asarray(stats["loss_g"])).all()
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    state_m = replicate(mesh, init_gan_state(jax.random.PRNGKey(0), G, D, tcfg))
+    step_m = make_gan_train_step(G, D, tcfg, mesh=mesh)
+    statem_out, stats_m = step_m(
+        state_m, shard_batch(mesh, batch), jax.device_put(rng, repl),
+        jax.device_put(jnp.asarray(0.5, jnp.float32), repl),
+    )
+
+    for k in stats_1:
+        np.testing.assert_allclose(
+            np.asarray(stats_m[k]), np.asarray(stats_1[k]), atol=1e-4, rtol=1e-4,
+            err_msg=f"stat {k} diverges between sharded and single-device step",
+        )
+    for path in (("synthesis", "vb4", "conv", "weight"), ("mapping", "fc0", "weight")):
+        a = np.asarray(_get(state1_out.params_g, path))
+        b = np.asarray(_get(statem_out.params_g, path))
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4,
+                                   err_msg=f"params_g {path} diverges")
+    d_leaf = ("b4", "out", "weight")
+    np.testing.assert_allclose(
+        np.asarray(_get(statem_out.params_d, d_leaf)),
+        np.asarray(_get(state1_out.params_d, d_leaf)),
+        atol=2e-4, rtol=2e-4,
+    )
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
 
 
 def test_encoder_train_step():
