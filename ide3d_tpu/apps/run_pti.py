@@ -33,6 +33,14 @@ def main(argv=None):
     ap.add_argument("--lpips-threshold", type=float, default=0.06)
     ap.add_argument("--multi-id", action="store_true")
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--join-view", action="store_true",
+                    help="ide3d_join_view coach: add mirrored-view consistency "
+                         "(single_id_coach.py:66-71)")
+    ap.add_argument("--use-locality", action="store_true",
+                    help="ball-holder locality regularization "
+                         "(criteria/localitly_regulizer.py:9-59)")
+    ap.add_argument("--no-noise-opt", action="store_true",
+                    help="disable joint per-layer noise-buffer optimization")
     ap.add_argument("--outdir", required=True)
     args = ap.parse_args(argv)
 
@@ -75,8 +83,10 @@ def main(argv=None):
         if "E" in e_params:
             e_params = e_params["E"]
 
-    pcfg = ProjectorConfig(num_steps=args.projector_steps)
-    tcfg = PtiConfig(max_steps=args.pti_steps, lpips_threshold=args.lpips_threshold)
+    pcfg = ProjectorConfig(num_steps=args.projector_steps,
+                           optimize_noise=not args.no_noise_opt)
+    tcfg = PtiConfig(max_steps=args.pti_steps, lpips_threshold=args.lpips_threshold,
+                     join_view=args.join_view, use_locality=args.use_locality)
 
     pivots = []
     tuned = g_params
