@@ -2,12 +2,17 @@
 
 Measures steady-state frames/sec of the full flagship pipeline (mapping excluded,
 pose varies every frame — the Painter free-view contract, Painter/run_UI.py:440)
-on whatever accelerator jax exposes, and prints ONE JSON line:
+at the REFERENCE sampling budget (96 coarse + 96 importance samples per ray,
+gen_images.py:102 + volumetric_rendering.py:224) and prints ONE JSON line:
 
     {"metric": "free_view_512_rgb_seg_fps", "value": N, "unit": "fps", "vs_baseline": N}
 
 vs_baseline is measured fps / 30 (the driver north star: >=30 fps/chip at 512^2,
-BASELINE.md). Run with --fast for a reduced-step sanity mode.
+BASELINE.md).
+
+`--metric edit_loop` instead measures the Painter interactive edit step — TWO full
+G passes + one HybridEncoder pass in a single jitted program (the product latency
+contract, Painter/run_UI.py:167-206) — and reports milliseconds per edit.
 """
 
 import argparse
@@ -24,9 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--num-steps", type=int, default=48,
-                    help="coarse ray steps (hierarchical doubles total)")
+    ap.add_argument("--num-steps", type=int, default=96,
+                    help="coarse ray steps (hierarchical doubles total); 96 = "
+                         "the reference budget")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--metric", choices=["fps", "edit_loop"], default="fps")
     args = ap.parse_args()
 
     from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
@@ -36,6 +43,9 @@ def main():
     rp = RenderParams(img_size=64, num_steps=args.num_steps, hierarchical=True)
     G = Ide3dGenerator(GeneratorConfig(render=rp))
     params = jax.jit(G.init)(jax.random.PRNGKey(0))
+
+    if args.metric == "edit_loop":
+        return bench_edit_loop(G, params, args)
 
     @jax.jit
     def frame(params, ws, c):
@@ -94,6 +104,77 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def _rtt_baseline():
+    """Median dispatch round-trip of a trivial readback (the tunneled TPU adds
+    ~30 ms per synchronous readback; subtracted so metrics reflect device time)."""
+    @jax.jit
+    def _noop(x):
+        return jnp.sum(x)
+
+    probe = jnp.ones((8, 128))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(_noop(probe))
+        rtts.append(time.perf_counter() - t0)
+    return sorted(rtts)[len(rtts) // 2]
+
+
+def bench_edit_loop(G, params, args):
+    """Painter edit-step latency: one jitted program = G render (current
+    appearance) -> HybridEncoder re-encode of the edited mask -> G re-render
+    (apps/painter.py make_edit_step; contract Painter/run_UI.py:167-206)."""
+    from ide3d_tpu import render
+    from ide3d_tpu.apps.painter import make_edit_step
+    from ide3d_tpu.models.encoder import HybridEncoder
+
+    R = G.cfg.img_resolution
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=R, n_latents_app=G.num_ws - n_geo, n_latents_geo=n_geo,
+                      w_dim=G.cfg.w_dim)
+    e_params = jax.jit(E.init)(jax.random.PRNGKey(1))
+    edit_step = make_edit_step(G, E)
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, G.cfg.z_dim))
+    c0 = jnp.asarray(render.CANONICAL_POSE_25)[None]
+    w = G.mapping(params["mapping"], z, c0)
+    seg_pm = (jax.nn.one_hot(
+        jax.random.randint(jax.random.PRNGKey(3), (1, R, R), 0, G.cfg.seg_channels),
+        G.cfg.seg_channels) * 2.0 - 1.0)
+
+    import math
+
+    cams = []
+    for i in range(args.iters + args.warmup):
+        yaw = math.pi / 2 + 0.4 * math.sin(2 * math.pi * i / 16)
+        cams.append(render.make_label_25(render.look_at_pose(yaw, math.pi / 2,
+                                                             [0.0, 0.0, 0.0], radius=2.7)))
+
+    def run(i, w):
+        img, seg, rec_ws = edit_step(params, e_params, seg_pm, w, cams[i])
+        float(jnp.sum(img.astype(jnp.float32)))  # true device sync
+        return rec_ws
+
+    for i in range(args.warmup):
+        w = run(i, w)
+    rtt = _rtt_baseline()
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        w = run(args.warmup + i, w)
+        times.append(time.perf_counter() - t0)
+    median_ms = max((sorted(times)[len(times) // 2] - rtt) * 1000.0, 1e-3)
+    result = {
+        "metric": "painter_edit_loop_ms",
+        "value": round(median_ms, 3),
+        "unit": "ms",
+        # north star: real-time interaction; 33.3 ms (30 edits/s) as the bar
+        "vs_baseline": round(33.333 / median_ms, 4),
     }
     print(json.dumps(result))
     return 0

@@ -66,6 +66,18 @@ class GeneratorConfig:
     # apps/infer_face_animation_avatar.py:114 via cond_img).
     use_encoder: bool = False
     encoder_predicts_camera: bool = True
+    # --- hybrid tri-plane/voxel representation (IDE-3D paper Sec. 3.1) ----------
+    # When on, a VolumeGAN FeatureVolume (models/feature_volume.py; contract
+    # inversion/networks.py:1853-1917) conditioned on the first geometry w row
+    # produces a 3D feature grid whose trilinearly-sampled features are added to
+    # the tri-plane features before the sigma/feature decoder.
+    use_feature_volume: bool = False
+    fv_resolution: int = 32
+    fv_base_channels: int = 128
+    # --- superres architecture: "sg2" (skip blocks, the shipped model family) or
+    # "sg3" (alias-free SynthesisLayer3 stack, contract networks.py:519-665 +
+    # the filtered_lrelu op family). Same w-row budget either way.
+    sr_arch: str = "sg2"
     # --- reference-checkpoint compatibility (round-2 parity gate) ---------------
     # vb_ref_compat=True uses the reference two-conv vb interior
     # (SegSynthesisBlock(ref_compat=True)) with the reference w-row slicing
@@ -204,6 +216,69 @@ class Ide3dSynthesisNetwork:
     def _raw_rgb(self) -> ToRGBLayer:
         return ToRGBLayer(self.cfg.feature_channels, self.cfg.img_channels, self.cfg.w_dim)
 
+    def _feature_volume(self):
+        from .feature_volume import FeatureVolume
+
+        return FeatureVolume(
+            feat_res=self.cfg.fv_resolution,
+            base_channels=self.cfg.fv_base_channels,
+            output_channels=self.cfg.feature_channels,
+            z_dim=self.cfg.w_dim,
+        )
+
+    def _sg3_layers(self):
+        """Alias-free superres stack (sr_arch='sg3'): an 8-conv SynthesisLayer3
+        chain from render_size to img_resolution + final ToRGB — consumes the SAME
+        9 w rows as the SG2 skip stack, so the 18-row w+ layout is unchanged.
+        Schedule: one refine + one upsample layer per octave, cutoff 0.4*rate,
+        transition half-width 0.1*rate (simplified alias-free schedule; the full
+        StyleGAN3 progression lives in layers_sg3.sg3_layer_schedule)."""
+        from .layers_sg3 import SynthesisLayer3
+
+        cfg = self.cfg
+        rs, R = cfg.render_size, cfg.img_resolution
+        rates = [rs]
+        while rates[-1] < R:
+            rates.append(rates[-1] * 2)
+        # (in_rate, out_rate) pairs: refine at rs, then (up, refine) per octave,
+        # padded with refines at R so the conv count always matches the SG2 row
+        # budget (2 * len(block_resolutions)).
+        pairs = [(rs, rs)]
+        for r in rates[:-1]:
+            pairs.append((r, r * 2))
+            pairs.append((r * 2, r * 2))
+        n_convs = 2 * len(self.block_resolutions)
+        while len(pairs) < n_convs:
+            pairs.append((R, R))
+        pairs = pairs[:n_convs]
+
+        def ch(rate):
+            nearest = min(self.block_resolutions, key=lambda b: abs(b - rate))
+            return cfg.sr_channels(nearest)
+
+        layers = []
+        in_ch = cfg.feature_channels
+        for (ri, ro) in pairs:
+            out_ch = ch(ro)
+            layers.append(SynthesisLayer3(
+                w_dim=cfg.w_dim, is_torgb=False,
+                in_channels=in_ch, out_channels=out_ch,
+                in_size=ri, out_size=ro,
+                in_sampling_rate=float(ri), out_sampling_rate=float(ro),
+                in_cutoff=0.4 * ri, out_cutoff=0.4 * ro,
+                in_half_width=0.1 * ri, out_half_width=0.1 * ro,
+            ))
+            in_ch = out_ch
+        torgb = SynthesisLayer3(
+            w_dim=cfg.w_dim, is_torgb=True,
+            in_channels=in_ch, out_channels=cfg.img_channels,
+            in_size=R, out_size=R,
+            in_sampling_rate=float(R), out_sampling_rate=float(R),
+            in_cutoff=0.4 * R, out_cutoff=0.4 * R,
+            in_half_width=0.1 * R, out_half_width=0.1 * R,
+        )
+        return layers, torgb
+
     # ----------------------------------------------------------------------- init
 
     def init(self, key: jax.Array) -> dict:
@@ -217,8 +292,20 @@ class Ide3dSynthesisNetwork:
         params["renderer"] = self.renderer.init(keys[n_vb])
         if cfg.raw_head == "torgb":
             params["raw_rgb"] = self._raw_rgb().init(keys[n_vb + 1])
-        for i, res in enumerate(self.block_resolutions):
-            params[f"b{res}"] = self._sr_block(i, res).init(keys[n_vb + 2 + i])
+        if cfg.use_feature_volume:
+            params["feature_volume"] = self._feature_volume().init(
+                jax.random.fold_in(keys[n_vb], 1)
+            )
+        if cfg.sr_arch == "sg3":
+            layers, torgb = self._sg3_layers()
+            sg3 = {}
+            for i, layer in enumerate(layers):
+                sg3[f"layer{i}"] = layer.init(jax.random.fold_in(keys[n_vb + 2], i))
+            sg3["torgb"] = torgb.init(jax.random.fold_in(keys[n_vb + 2], 999))
+            params["sg3_sr"] = sg3
+        else:
+            for i, res in enumerate(self.block_resolutions):
+                params[f"b{res}"] = self._sr_block(i, res).init(keys[n_vb + 2 + i])
         return params
 
     # -------------------------------------------------------------------- forward
@@ -278,6 +365,15 @@ class Ide3dSynthesisNetwork:
             base = self._vb_num_conv_total + (1 if self.cfg.raw_head == "torgb" else 0)
         else:
             base = n_vb + 2  # first superres conv row (= 9)
+        if self.cfg.sr_arch == "sg3":
+            layers, torgb = self._sg3_layers()
+            x = feature.astype(jnp.dtype(self.cfg.dtype))
+            for i, layer in enumerate(layers):
+                x = layer(params["sg3_sr"][f"layer{i}"], x, ws[:, base + i])
+            img = torgb(
+                params["sg3_sr"]["torgb"], x, ws[:, base + len(layers)]
+            ).astype(jnp.float32)
+            return img
         for i, res in enumerate(self.block_resolutions):
             nk = None
             if noise_key is not None:
@@ -332,6 +428,12 @@ class Ide3dSynthesisNetwork:
         # gather bandwidth of the render hot loop; compositing stays fp32 inside
         # integrate_rays.
         sample_dtype = jnp.dtype(cfg.dtype)
+        volume = None
+        if cfg.use_feature_volume:
+            # hybrid voxel branch, conditioned on the first geometry row
+            volume = self._feature_volume()(
+                params["feature_volume"], ws[:, 0]
+            ).astype(sample_dtype)
         rout = self.renderer.render(
             params["renderer"],
             img_v.astype(sample_dtype),
@@ -339,6 +441,7 @@ class Ide3dSynthesisNetwork:
             cam2world,
             rp,
             key=render_key,
+            volume=volume,
         )
 
         n_vb = len(self.voxel_block_resolutions)

@@ -128,15 +128,25 @@ class TriplaneRenderer:
         return x
 
     def sample_voxel(
-        self, params: dict, img_v: jax.Array, seg_v: jax.Array, coords: jax.Array
+        self,
+        params: dict,
+        img_v: jax.Array,
+        seg_v: jax.Array,
+        coords: jax.Array,
+        volume: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Contract: extract_shapes.py:146. coords [B,N,3] world -> [B,N,52],
         layout [feat(32) | seg(19) | sigma(1)].
 
         The texture and semantic plane stacks are sampled with ONE fused gather
         over the concatenated channels (rows narrower than 128 lanes cost the same
-        as wide ones on TPU — see ops/grid_sample.sample_from_triplane_fused)."""
-        return self._sample_52(params, self.build_table(img_v, seg_v), coords)
+        as wide ones on TPU — see ops/grid_sample.sample_from_triplane_fused).
+        `volume` is the optional VolumeGAN voxel branch [B,D,H,W,feat] of the
+        hybrid representation (models/feature_volume.py; contract
+        inversion/networks.py:1853-1917): its trilinearly-sampled features are
+        ADDED to the tri-plane features before decoding."""
+        return self._sample_52(params, self.build_table(img_v, seg_v), coords,
+                               volume=volume)
 
     def build_table(self, img_v: jax.Array, seg_v: jax.Array) -> jax.Array:
         """Quad table over the concatenated texture+semantic plane channels;
@@ -150,13 +160,22 @@ class TriplaneRenderer:
         )
         return build_triplane_quad_table(combined)
 
-    def _sample_52(self, params: dict, quad: jax.Array, coords: jax.Array) -> jax.Array:
-        from ..ops.grid_sample import sample_from_quad_table
+    def _sample_52(
+        self,
+        params: dict,
+        quad: jax.Array,
+        coords: jax.Array,
+        volume: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        from ..ops.grid_sample import sample_from_3dgrid, sample_from_quad_table
 
         coords = coords * self.coord_scale
         fc = self.feature_channels
         sampled = sample_from_quad_table(coords, quad)  # [B, N, fc+sc]
         feat, seg = sampled[..., :fc], sampled[..., fc:]
+        if volume is not None:
+            # hybrid tri-plane/voxel representation: add the 3D-grid features
+            feat = feat + sample_from_3dgrid(coords, volume).astype(feat.dtype)
         decoded = self.decode_features(params, feat)  # [B, N, fc+1]
         return jnp.concatenate(
             [decoded[..., :fc], seg, decoded[..., -1:]], axis=-1
@@ -172,6 +191,7 @@ class TriplaneRenderer:
         cam2world: jax.Array,  # [B, 4, 4]
         rp: RenderParams,
         key: Optional[jax.Array] = None,
+        volume: Optional[jax.Array] = None,  # hybrid voxel branch [B,D,H,W,feat]
     ) -> dict:
         """Volume-render feature image + semantics + depth at rp.img_size.
 
@@ -196,7 +216,7 @@ class TriplaneRenderer:
         pts, dirs, origins = transform_rays_to_world(points_cam, rays_d_cam, cam2world)
 
         quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
-        coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3))
+        coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3), volume=volume)
         coarse = coarse.reshape(B, Rr, S, self.out_channels)
 
         if rp.hierarchical:
@@ -216,7 +236,7 @@ class TriplaneRenderer:
             fine_z = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
 
             fine_pts = origins[:, :, None, :] + dirs[:, :, None, :] * fine_z
-            fine = self._sample_52(params, quad, fine_pts.reshape(B, Rr * S, 3))
+            fine = self._sample_52(params, quad, fine_pts.reshape(B, Rr * S, 3), volume=volume)
             fine = fine.reshape(B, Rr, S, self.out_channels)
 
             all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,2S,1]

@@ -282,3 +282,80 @@ def test_feature_volume():
     coords = jax.random.uniform(jax.random.PRNGKey(2), (2, 50, 3), minval=-1, maxval=1)
     feats = sample_from_3dgrid(coords, vol)
     assert feats.shape == (2, 50, 8)
+
+
+# ------------------------------------------------- hybrid voxel branch + SG3 SR
+
+
+def test_hybrid_feature_volume_generator():
+    """VERDICT item 6: GeneratorConfig.use_feature_volume mixes VolumeGAN
+    3D-grid features into sample_voxel; the branch changes the output and
+    receives gradients."""
+    cfg = tiny_cfg(use_feature_volume=True, fv_resolution=8, fv_base_channels=16)
+    G = Ide3dGenerator(cfg)
+    params = G.init(jax.random.PRNGKey(0))
+    assert "feature_volume" in params["synthesis"]
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim))
+    c = canonical_c()
+    img = jax.jit(lambda p, z, c: G(p, z, c))(params, z, c)
+    assert img.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+    # ablating the volume branch changes the render (it is actually wired in)
+    params_off = jax.tree_util.tree_map(jnp.copy, params)
+    fv = params_off["synthesis"]["feature_volume"]
+    fv_zero = jax.tree_util.tree_map(jnp.zeros_like, fv)
+    params_off["synthesis"]["feature_volume"] = fv_zero
+    img_off = jax.jit(lambda p, z, c: G(p, z, c))(params_off, z, c)
+    assert np.abs(np.asarray(img) - np.asarray(img_off)).max() > 1e-4
+
+    # gradients flow into the voxel branch
+    def loss(p):
+        return jnp.mean(jnp.square(G(p, z, c)))
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(leaf)))
+        for leaf in jax.tree_util.tree_leaves(g["synthesis"]["feature_volume"])
+    )
+    assert gnorm > 0
+
+
+def test_hybrid_sample_voxel_contract():
+    """sample_voxel keeps the [feat|seg|sigma-last] contract with the volume."""
+    cfg = tiny_cfg(use_feature_volume=True, fv_resolution=8, fv_base_channels=16)
+    G = Ide3dGenerator(cfg)
+    params = G.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim))
+    ws = G.mapping(params["mapping"], z, canonical_c())
+    syn = G.synthesis
+    img_v, seg_v = syn.generate_planes(params["synthesis"], ws)
+    volume = syn._feature_volume()(params["synthesis"]["feature_volume"], ws[:, 0])
+    coords = jax.random.uniform(jax.random.PRNGKey(2), (1, 33, 3), minval=-1, maxval=1)
+    out = syn.renderer.sample_voxel(
+        params["synthesis"]["renderer"], img_v, seg_v, coords, volume=volume
+    )
+    assert out.shape == (1, 33, cfg.feature_channels + cfg.seg_channels + 1)
+    out_no = syn.renderer.sample_voxel(
+        params["synthesis"]["renderer"], img_v, seg_v, coords
+    )
+    assert np.abs(np.asarray(out) - np.asarray(out_no)).max() > 1e-5
+
+
+def test_sg3_superres_generator():
+    """sr_arch='sg3': alias-free superres stack consumes the same w-row budget
+    (num_ws unchanged) and renders the full resolution."""
+    cfg = tiny_cfg(sr_arch="sg3")
+    cfg_sg2 = tiny_cfg()
+    G = Ide3dGenerator(cfg)
+    assert G.num_ws == Ide3dGenerator(cfg_sg2).num_ws
+    params = G.init(jax.random.PRNGKey(0))
+    assert "sg3_sr" in params["synthesis"]
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.z_dim))
+    img, seg = jax.jit(lambda p, z, c: G(p, z, c, return_seg=True))(
+        params, z, canonical_c()
+    )
+    assert img.shape == (1, 64, 64, 3)
+    assert seg.shape == (1, 64, 64, 19)
+    assert np.isfinite(np.asarray(img)).all()
