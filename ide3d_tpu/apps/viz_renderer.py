@@ -148,8 +148,49 @@ class VizRenderer:
         return out, info
 
 
+_BROWSER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>IDE-3D visualizer</title>
+<style>body{font-family:sans-serif;background:#181818;color:#ddd;margin:16px}
+img{border:1px solid #444;width:512px;height:512px}
+.t{display:flex;gap:10px;flex-wrap:wrap;align-items:center;margin:8px 0}
+input[type=range]{width:150px}</style></head><body>
+<h3>IDE-3D model browser <small id="ms"></small></h3>
+<div class="t">
+ seed <input id="seed" type="number" value="0" style="width:70px" onchange="go()">
+ trunc <input id="trunc" type="range" min="0" max="1" step="0.05" value="0.7" onchange="go()">
+ yaw <input id="yaw" type="range" min="-0.6" max="0.6" step="0.02" value="0" oninput="go()">
+ pitch <input id="pitch" type="range" min="-0.4" max="0.4" step="0.02" value="0" oninput="go()">
+ type <select id="type" onchange="go()">
+  <option>image</option><option>seg</option><option>depth</option>
+  <option>normals</option><option>raw</option></select>
+ mix-seed <input id="mix" type="number" value="" placeholder="off" style="width:70px" onchange="go()">
+ <label><input id="mix_geo" type="checkbox" onchange="go()">geometry</label>
+ <label><input id="mix_app" type="checkbox" onchange="go()">appearance</label>
+</div>
+<img id="out">
+<script>
+const $=x=>document.getElementById(x); let busy=false, queued=false;
+async function go(){
+ if(busy){queued=true;return} busy=true;
+ const p=new URLSearchParams({seed:$("seed").value,yaw:$("yaw").value,
+  pitch:$("pitch").value,trunc:$("trunc").value,type:$("type").value});
+ if($("mix").value!==""){p.set("mix",$("mix").value);
+  p.set("mix_geo",$("mix_geo").checked?1:0);p.set("mix_app",$("mix_app").checked?1:0);}
+ const t0=performance.now();
+ const r=await fetch("/render?"+p); const b=await r.blob();
+ $("out").src=URL.createObjectURL(b);
+ $("ms").textContent=(performance.now()-t0).toFixed(0)+" ms (server "+
+   (parseFloat(r.headers.get("X-Render-Time"))*1000).toFixed(0)+" ms)";
+ busy=false; if(queued){queued=false;go();}
+}
+window.addEventListener("load",go);
+</script></body></html>
+"""
+
+
 def main(argv=None):
-    """Minimal HTTP render server: GET /render?seed=0&yaw=0.2&type=image -> PNG."""
+    """Render server + model-browser page: GET / for the UI,
+    GET /render?seed=0&yaw=0.2&type=image for raw PNG frames."""
     import argparse
     import io
     from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -168,6 +209,14 @@ def main(argv=None):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             url = urlparse(self.path)
+            if url.path == "/":
+                page = _BROWSER_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+                return
             if url.path != "/render":
                 self.send_response(404)
                 self.end_headers()

@@ -160,13 +160,13 @@ def _pool(x, kind, ks, stride, padding="VALID"):
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, ks, ks, 1), (1, stride, stride, 1), padding
         )
-    ones = jax.lax.reduce_window(
-        jnp.ones_like(x), 0.0, jax.lax.add, (1, ks, ks, 1), (1, stride, stride, 1), padding
-    )
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, ks, ks, 1), (1, stride, stride, 1), padding
     )
-    return s / ones
+    # torch F.avg_pool2d defaults count_include_pad=True (the torchvision
+    # Inception branch_pool uses it): divide by the full window size, padding
+    # zeros included.
+    return s / float(ks * ks)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,7 +31,12 @@ def _blocks_50() -> List[Tuple[int, int, int]]:
     return blocks
 
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1, padding=None):
+    # torch convention: explicit symmetric k//2 padding (XLA "SAME" shifts
+    # windows for stride>1 — see models/bisenet.py conv2d note).
+    if padding is None:
+        k = w.shape[0]
+        padding = [(k // 2, k // 2), (w.shape[1] // 2, w.shape[1] // 2)]
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,

@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 
 
-def conv2d(x, w, stride=1, padding="SAME"):
+def conv2d(x, w, stride=1, padding=None):
+    # torch convention: explicit symmetric k//2 padding. XLA "SAME" pads
+    # asymmetrically (low side short) for stride>1 on even inputs, which shifts
+    # every window by one pixel vs torch — measured 4.88 max abs diff on a
+    # stride-2 7x7 stem (tests/test_cnn_import.py pins this).
+    if padding is None:
+        k = w.shape[0]
+        padding = [(k // 2, k // 2), (w.shape[1] // 2, w.shape[1] // 2)]
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -1,0 +1,72 @@
+"""Painter web UI tests: route layer over a tiny session (the product loop of
+Painter/run_UI.py:167-206 driven through the HTTP API surface)."""
+
+import base64
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def app():
+    from ide3d_tpu.apps.web_ui import PainterWebApp, build_session
+
+    return PainterWebApp(build_session("random:0", tiny=True))
+
+
+def _json(resp):
+    status, ctype, payload = resp
+    assert status == 200, payload
+    assert ctype == "application/json"
+    return json.loads(payload)
+
+
+def test_index_and_meta(app):
+    status, ctype, payload = app.handle("GET", "/", {}, b"")
+    assert status == 200 and ctype == "text/html"
+    assert b"Apply edit" in payload
+
+    meta = _json(app.handle("GET", "/api/meta", {}, b""))
+    assert meta["resolution"] == 64
+    assert meta["classes"]["hair"] == 13
+    assert len(meta["palette"]) == 19
+
+
+def test_seed_view_edit_loop(app):
+    R = 64
+    out = _json(app.handle("POST", "/api/seed", {},
+                           json.dumps({"seed": 3, "trunc": 0.7}).encode()))
+    assert out["render"] and out["seg_ids"]
+    ids = np.frombuffer(base64.b64decode(out["seg_ids"]), np.uint8)
+    assert ids.shape == (R * R,) and ids.max() < 19
+
+    # free-view re-render (no edit): latent state must NOT advance
+    w_before = np.asarray(app.session.w)
+    out_v = _json(app.handle("GET", "/api/view", {"yaw": "0.3", "pitch": "-0.1"}, b""))
+    assert out_v["render"]
+    np.testing.assert_array_equal(np.asarray(app.session.w), w_before)
+
+    # paint a hair rectangle onto the mask and apply the edit
+    mask = ids.reshape(R, R).copy()
+    mask[5:20, 5:20] = 13
+    body = json.dumps({
+        "mask": base64.b64encode(mask.reshape(-1)).decode(),
+        "yaw": 0.1, "pitch": 0.0,
+    }).encode()
+    out_e = _json(app.handle("POST", "/api/edit", {}, body))
+    assert out_e["render"] and out_e["seg_ids"]
+    # the edit advances the session latent (run_UI.py:203 self.w = rec_ws)
+    assert np.abs(np.asarray(app.session.w) - w_before).max() > 0
+
+    # render payloads are valid PNGs
+    import PIL.Image
+    import io
+
+    img = PIL.Image.open(io.BytesIO(base64.b64decode(out_e["render"])))
+    assert img.size == (R, R)
+
+
+def test_unknown_route(app):
+    status, _, _ = app.handle("GET", "/nope", {}, b"")
+    assert status == 404
