@@ -100,6 +100,7 @@ def main(argv=None):
             params_g=params["G"], params_d=params["D"],
             params_g_ema=params["G_ema"],
             opt_g=params["opt_g"], opt_d=params["opt_d"],
+            pl_mean=jnp.asarray(params.get("pl_mean", 0.0), jnp.float32),
         )
         start_img = int(meta.get("step", 0)) * args.batch
     else:
@@ -172,7 +173,8 @@ def main(argv=None):
             save_checkpoint(
                 os.path.join(args.outdir, f"snapshot-{cur_img//1000:06d}"),
                 {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
-                 "opt_g": state.opt_g, "opt_d": state.opt_d},
+                 "opt_g": state.opt_g, "opt_d": state.opt_d,
+                 "pl_mean": state.pl_mean},
                 config=gcfg, step=int(state.step),
             )
             next_snap = cur_img + args.snap_kimg * 1000
@@ -180,7 +182,7 @@ def main(argv=None):
     save_checkpoint(
         os.path.join(args.outdir, "snapshot-final"),
         {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
-         "opt_g": state.opt_g, "opt_d": state.opt_d},
+         "opt_g": state.opt_g, "opt_d": state.opt_d, "pl_mean": state.pl_mean},
         config=gcfg, step=int(state.step),
     )
     print("done")

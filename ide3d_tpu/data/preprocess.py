@@ -133,3 +133,108 @@ def convert_face_recon_mats(in_root: str, out_path: Optional[str] = None) -> dic
         with open(out_path, "w") as fh:
             json.dump(out, fh)
     return out
+
+
+# ------------------------------------------------------------ crop / alignment
+#
+# The reference's in-the-wild crop (crop_images_in_the_wild.py:43-61) calls
+# Deep3DFaceRecon's `align_img` (an EMPTY git submodule in the reference tree).
+# The algorithm is standard public math: solve a least-squares similarity
+# transform (the "POS" linear pose solve) from the 5 facial landmarks to the BFM
+# standard 3D landmark positions, rescale the image so the face spans
+# `rescale_factor` pixels at `target_size`, center on the solved translation,
+# then center-crop `center_crop_size` and resize to `output_size` (the IDE-3D/
+# EG3D FFHQ convention: 1024 -> 700 crop -> 512).
+
+# BFM standard 5-point landmarks (x, y, z), the similarity-transform target.
+# These are dataset constants (from the public BFM similarity_Lm3D_all.mat
+# reduction), not code.
+LM3D_STD = np.array(
+    [
+        [-0.31148657, 0.09036078, 0.13377953],   # left eye
+        [0.30979887, 0.08972035, 0.13179526],    # right eye
+        [0.0032535, -0.24617933, 0.55244243],    # nose tip
+        [-0.25216928, -0.5813392, 0.22405732],   # left mouth corner
+        [0.2484662, -0.5812824, 0.22235769],     # right mouth corner
+    ],
+    dtype=np.float64,
+)
+
+
+def extract_5p(lm: np.ndarray) -> np.ndarray:
+    """68-point landmarks -> 5 (eye centers, nose, mouth corners)."""
+    lm = np.asarray(lm, np.float64)
+    if lm.shape[0] == 5:
+        return lm
+    idx = np.array([31, 37, 40, 43, 46, 49, 55]) - 1
+    p5 = np.stack(
+        [
+            lm[idx[[1, 2]]].mean(0),  # left eye center
+            lm[idx[[3, 4]]].mean(0),  # right eye center
+            lm[idx[0]],               # nose tip
+            lm[idx[5]],               # left mouth corner
+            lm[idx[6]],               # right mouth corner
+        ]
+    )
+    return p5
+
+
+def pos_similarity(xp: np.ndarray, x3d: np.ndarray):
+    """Least-squares scale + 2D translation mapping 3D std landmarks to image
+    landmarks (the POS solve): xp ~ s * x3d[:, :2]-ish via the linear system
+    A @ [r1; tx; r2; ty] = b with row-orthogonal R absorbed into s.
+
+    xp: [N, 2] image points (y up), x3d: [N, 3]. Returns (t [2], s scalar)."""
+    npts = xp.shape[0]
+    A = np.zeros((2 * npts, 8))
+    x_h = np.concatenate([x3d, np.ones((npts, 1))], axis=1)  # [N, 4]
+    A[0::2, 0:4] = x_h
+    A[1::2, 4:8] = x_h
+    b = xp.reshape(-1, 1)
+    k, *_ = np.linalg.lstsq(A, b, rcond=None)
+    R1, R2 = k[0:3], k[4:7]
+    sTx, sTy = float(k[3]), float(k[7])
+    s = (np.linalg.norm(R1) + np.linalg.norm(R2)) / 2.0
+    return np.array([sTx, sTy]), float(s)
+
+
+def align_crop(
+    img: np.ndarray,  # [H, W, 3] uint8
+    lm: np.ndarray,   # [N>=5, 2] landmarks in IMAGE coords (y down)
+    lm3d_std: np.ndarray = LM3D_STD,
+    target_size: float = 1024.0,
+    rescale_factor: float = 300.0,
+    center_crop_size: int = 700,
+    output_size: int = 512,
+) -> np.ndarray:
+    """The in-the-wild FFHQ recrop (crop_images_in_the_wild.py:43-61 semantics).
+
+    Returns the aligned [output_size, output_size, 3] uint8 crop."""
+    import PIL.Image
+
+    H = img.shape[0]
+    lm = extract_5p(np.asarray(lm, np.float64))
+    lm_flip = lm.copy()
+    lm_flip[:, 1] = H - 1 - lm_flip[:, 1]  # y up for the solve (reference :44-45)
+
+    t, s = pos_similarity(lm_flip, lm3d_std)
+    s = rescale_factor / max(s, 1e-8)
+
+    # resize so the face spans rescale_factor px, then crop target_size about
+    # the solved center (align_img 'resize_n_crop_img' semantics: the solved
+    # translation is in y-up original-image coords)
+    w0, h0 = img.shape[1], img.shape[0]
+    im = PIL.Image.fromarray(img)
+    w, h = int(round(w0 * s)), int(round(h0 * s))
+    im = im.resize((w, h), resample=PIL.Image.BICUBIC)
+
+    left = int(round(w / 2 - target_size / 2 + (t[0] - w0 / 2) * s))
+    up = int(round(h / 2 - target_size / 2 + (h0 / 2 - t[1]) * s))
+    im = im.crop((left, up, left + int(target_size), up + int(target_size)))
+
+    # center crop + final resize (crop_images_in_the_wild.py:54-60)
+    l2 = int(im.size[0] / 2 - center_crop_size / 2)
+    u2 = int(im.size[1] / 2 - center_crop_size / 2)
+    im = im.crop((l2, u2, l2 + center_crop_size, u2 + center_crop_size))
+    im = im.resize((output_size, output_size), resample=PIL.Image.LANCZOS)
+    return np.asarray(im, np.uint8)

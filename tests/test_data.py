@@ -115,3 +115,56 @@ def test_prefetch_loader(toy_dataset):
             assert set(np.unique(batch["seg"])) <= {-1.0, 1.0}
     finally:
         loader.close()
+
+
+def test_align_crop_scale_translation_invariance():
+    """In-the-wild recrop (crop_images_in_the_wild.py:43-61 semantics): the same
+    face rendered at different scales/positions aligns to ~the same output crop;
+    the POS solve recovers the planted similarity transform."""
+    import PIL.Image
+
+    from ide3d_tpu.data.preprocess import LM3D_STD, align_crop, pos_similarity
+
+    rng = np.random.RandomState(0)
+
+    def synth(scale, tx, ty, size):
+        """Image with a distinctive pattern placed by a similarity transform of
+        the standard landmarks; returns (img, landmarks y-down)."""
+        img = np.zeros((size, size, 3), np.uint8)
+        # y-up landmark positions: s * lm3d_std[:, :2] + t
+        lm_up = LM3D_STD[:, :2] * scale + np.array([tx, ty])
+        # a textured box around the face region
+        cx, cy = int(tx), int(size - 1 - ty)
+        half = int(scale * 0.9)
+        y0, y1 = max(cy - half, 0), min(cy + half, size)
+        x0, x1 = max(cx - half, 0), min(cx + half, size)
+        # scale-invariant content: four colored quadrants about the face center
+        yy, xx = np.indices((y1 - y0, x1 - x0))
+        qy = (yy + y0) >= cy
+        qx = (xx + x0) >= cx
+        quad = qy.astype(int) * 2 + qx.astype(int)
+        palette = np.array([[255, 40, 40], [40, 255, 40], [40, 40, 255], [255, 255, 40]],
+                           np.uint8)
+        img[y0:y1, x0:x1] = palette[quad]
+        lm_down = lm_up.copy()
+        lm_down[:, 1] = size - 1 - lm_down[:, 1]
+        return img, lm_down
+
+    # POS recovers the planted scale
+    img, lm = synth(120.0, 300.0, 260.0, 600)
+    lm_up = lm.copy()
+    lm_up[:, 1] = 600 - 1 - lm_up[:, 1]
+    t, s = pos_similarity(lm_up, LM3D_STD)
+    assert abs(s - 120.0) / 120.0 < 0.05
+    assert abs(t[0] - 300.0) < 3 and abs(t[1] - 260.0) < 6
+
+    out1 = align_crop(img, lm, output_size=128, target_size=512,
+                      rescale_factor=150, center_crop_size=350)
+    img2, lm2 = synth(200.0, 500.0, 430.0, 1000)
+    out2 = align_crop(img2, lm2, output_size=128, target_size=512,
+                      rescale_factor=150, center_crop_size=350)
+    assert out1.shape == out2.shape == (128, 128, 3)
+    # same face content lands in the same place (allow resampling tolerance)
+    a, b = out1.astype(np.float32), out2.astype(np.float32)
+    assert np.abs(a - b).mean() < 12.0
+    assert a.max() > 50  # the face actually landed inside the crop

@@ -148,8 +148,10 @@ def test_equivariance_metrics_smoke():
     assert np.isfinite(rec["results"]["eqr_psnr_db"])
 
 
-def test_fid_sharded_over_mesh():
-    """Device-sharded feature extraction (the NCCL metric-sharding parity path)."""
+def test_fid_sharded_over_mesh_matches_single_device():
+    """Device-sharded feature extraction must EQUAL the single-device value on
+    the same inputs (VERDICT item 8 — a wrong sharding spec fails this), not
+    merely be finite."""
     from ide3d_tpu.parallel import create_mesh
 
     G, params = tiny_G()
@@ -160,3 +162,11 @@ def test_fid_sharded_over_mesh():
         detector_params={}, num_items=16, batch_size=8, mesh=mesh,
     )
     assert np.isfinite(rec["results"]["fid"])
+    rec_1 = calc_metric(
+        "fid", G=G, g_params=params, dataset=ds, detector=pixel_features,
+        detector_params={}, num_items=16, batch_size=8,
+    )
+    np.testing.assert_allclose(
+        rec["results"]["fid"], rec_1["results"]["fid"], rtol=1e-3, atol=1e-4,
+        err_msg="mesh-sharded FID diverges from single-device FID",
+    )
