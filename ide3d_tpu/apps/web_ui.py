@@ -64,6 +64,8 @@ HTML = """<!doctype html>
  brush <input id="brush" type="range" min="2" max="40" value="10">
  <button onclick="undo()">undo</button>
  <button onclick="redo()">redo</button>
+ <label>open mask <input id="maskfile" type="file" accept="image/png"
+        style="width:180px" onchange="loadMask()"></label>
  <button id="apply" onclick="applyEdit()"><b>Apply edit</b></button>
 </div>
 <div id="panes">
@@ -127,6 +129,19 @@ async function applyEdit() {
     body: JSON.stringify({mask: b64, yaw: +$("yaw").value, pitch: +$("pitch").value})})).json();
   $("render").src = "data:image/png;base64," + r.render;
   status("");
+}
+async function loadMask() {
+  const f = $("maskfile").files[0];
+  if (!f) return;
+  const buf = new Uint8Array(await f.arrayBuffer());
+  let b64 = "";
+  for (let i = 0; i < buf.length; i += 0x8000)
+    b64 += String.fromCharCode.apply(null, buf.subarray(i, i + 0x8000));
+  const r = await (await fetch("/api/load_mask", {method: "POST",
+    body: JSON.stringify({png: btoa(b64)})})).json();
+  undoStack.push(ids.slice()); redoStack = [];
+  ids = Uint8Array.from(atob(r.seg_ids), c => c.charCodeAt(0));
+  drawMask();
 }
 function undo() { if (undoStack.length) { redoStack.push(ids.slice());
                   ids = undoStack.pop(); drawMask(); } }
@@ -214,6 +229,26 @@ class PainterWebApp:
             ids = self._seg_ids(seg_color)
         return {"render": _png_b64(rgb), "seg_ids": base64.b64encode(ids).decode()}
 
+    def load_mask(self, payload: dict) -> dict:
+        """'Open real mask' (run_UI.py:364-412): accepts a PNG of class ids
+        (grayscale/P-mode) OR a palette-colored mask; resizes to the canvas."""
+        import PIL.Image
+
+        R = self.session.G.cfg.img_resolution
+        img = PIL.Image.open(io.BytesIO(base64.b64decode(payload["png"])))
+        arr = np.asarray(img)
+        if arr.ndim == 3:  # palette-colored -> nearest class color
+            from ..utils.seg import COLOR_MAP
+
+            pal = COLOR_MAP.astype(np.int32)
+            d = np.abs(arr[:, :, None, :3].astype(np.int32) - pal[None, None]).sum(-1)
+            arr = d.argmin(-1).astype(np.uint8)
+        arr = np.asarray(
+            PIL.Image.fromarray(arr.astype(np.uint8)).resize((R, R), PIL.Image.NEAREST)
+        )
+        arr = np.clip(arr, 0, 18).astype(np.uint8)
+        return {"seg_ids": base64.b64encode(arr.reshape(-1)).decode()}
+
     def _seg_ids(self, seg_color: np.ndarray) -> np.ndarray:
         """Colorized seg -> class-id canvas (exact palette inverse)."""
         from ..utils.seg import COLOR_MAP
@@ -240,6 +275,9 @@ class PainterWebApp:
             return 200, "application/json", json.dumps(out).encode()
         if method == "POST" and path == "/api/edit":
             out = self.edit(json.loads(body or b"{}"))
+            return 200, "application/json", json.dumps(out).encode()
+        if method == "POST" and path == "/api/load_mask":
+            out = self.load_mask(json.loads(body or b"{}"))
             return 200, "application/json", json.dumps(out).encode()
         return 404, "text/plain", b"not found"
 

@@ -70,3 +70,35 @@ def test_seed_view_edit_loop(app):
 def test_unknown_route(app):
     status, _, _ = app.handle("GET", "/nope", {}, b"")
     assert status == 404
+
+
+def test_load_mask_roundtrip(app):
+    """'Open real mask' endpoint: grayscale class-id PNG and palette-colored PNG
+    both land as canvas ids at the session resolution."""
+    import io
+
+    import PIL.Image
+
+    from ide3d_tpu.utils.seg import COLOR_MAP
+
+    R = 64
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 19, (128, 128)).astype(np.uint8)  # off-resolution input
+
+    buf = io.BytesIO()
+    PIL.Image.fromarray(ids, mode="L").save(buf, "PNG")
+    out = _json(app.handle("POST", "/api/load_mask", {},
+                           json.dumps({"png": base64.b64encode(buf.getvalue()).decode()}).encode()))
+    got = np.frombuffer(base64.b64decode(out["seg_ids"]), np.uint8).reshape(R, R)
+    assert got.max() < 19
+    # nearest-neighbor resize keeps only original class ids
+    assert set(np.unique(got)) <= set(np.unique(ids))
+
+    colored = COLOR_MAP.astype(np.uint8)[ids]
+    buf2 = io.BytesIO()
+    PIL.Image.fromarray(colored).save(buf2, "PNG")
+    out2 = _json(app.handle("POST", "/api/load_mask", {},
+                            json.dumps({"png": base64.b64encode(buf2.getvalue()).decode()}).encode()))
+    got2 = np.frombuffer(base64.b64decode(out2["seg_ids"]), np.uint8).reshape(R, R)
+    # palette inversion must agree with the grayscale path
+    np.testing.assert_array_equal(got2, got)
