@@ -109,6 +109,10 @@ class MetricOptions:
     # 'data' axis (the reference's NCCL-rank feature sharding,
     # metrics/metric_utils.py:124-134, as one pjit program).
     mesh: object = None
+    # conditional-render evaluation mode (reference metric_utils.py:70-81):
+    # generator metrics computed with cond_img drawn from the dataset (needs
+    # GeneratorConfig.use_encoder).
+    cond_render: bool = False
 
 
 def _cache_path(opts: MetricOptions, tag: str) -> Optional[str]:
@@ -162,9 +166,23 @@ def compute_feature_stats_for_generator(
     G, params = opts.G, opts.g_params
     rs = np.random.RandomState(opts.seed)
 
-    def _gen_and_detect(params, dp, z, c):
-        img = G(params, z, c)
-        return opts.detector(dp, img)
+    if opts.cond_render:
+        # conditional-render mode (metric_utils.py:70-81 + :270-287): G is driven
+        # by condition IMAGES drawn from the dataset through its built-in encoder
+        # (G(z=..., cond_img=...) pathway, networks.py:1244-1251).
+        assert opts.dataset is not None, "cond_render needs a dataset"
+        assert getattr(G.cfg, "use_encoder", False), (
+            "cond_render requires GeneratorConfig.use_encoder"
+        )
+
+        def _gen_and_detect(params, dp, z, c, cond):
+            img = G(params, z, c, cond_img=cond)
+            return opts.detector(dp, img)
+    else:
+
+        def _gen_and_detect(params, dp, z, c):
+            img = G(params, z, c)
+            return opts.detector(dp, img)
 
     if opts.mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -172,9 +190,10 @@ def compute_feature_stats_for_generator(
         mesh = opts.mesh
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        n_in = 5 if opts.cond_render else 4
         gen_and_detect = jax.jit(
             _gen_and_detect,
-            in_shardings=(repl, repl, data, data),
+            in_shardings=(repl, repl) + (data,) * (n_in - 2),
             out_shardings=data,
         )
         from ..parallel import replicate
@@ -195,7 +214,17 @@ def compute_feature_stats_for_generator(
             c = jnp.asarray(np.stack([opts.dataset[int(i)][-1] for i in idx]))
         else:
             c = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25))
-        feats = gen_and_detect(params, dp_repl, z, c)
+        if opts.cond_render:
+            idx = rs.randint(len(opts.dataset), size=B)
+            cond = jnp.asarray(
+                np.stack([
+                    np.asarray(opts.dataset[int(i)][0], np.float32) / 127.5 - 1.0
+                    for i in idx
+                ])
+            )
+            feats = gen_and_detect(params, dp_repl, z, c, cond)
+        else:
+            feats = gen_and_detect(params, dp_repl, z, c)
         stats.append(np.asarray(feats))
         if opts.progress:
             opts.progress(stats.num_items, opts.num_items)

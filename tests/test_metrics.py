@@ -170,3 +170,31 @@ def test_fid_sharded_over_mesh_matches_single_device():
         rec["results"]["fid"], rec_1["results"]["fid"], rtol=1e-3, atol=1e-4,
         err_msg="mesh-sharded FID diverges from single-device FID",
     )
+
+
+def test_generator_features_cond_render_mode():
+    """cond_render evaluation mode (reference metric_utils.py:70-81): generator
+    metrics driven by condition images through G's built-in encoder."""
+    from ide3d_tpu.metrics.metric_utils import (
+        MetricOptions,
+        compute_feature_stats_for_generator,
+    )
+    from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
+    from ide3d_tpu.render.renderer import RenderParams
+
+    cfg = GeneratorConfig(
+        img_resolution=32, render_size=8, plane_resolution=16, channel_base=512,
+        channel_max=32, sr_channel_base=256, sr_channel_max=16, feature_channels=8,
+        dtype="float32", render=RenderParams(img_size=8, num_steps=4),
+        use_encoder=True,
+    )
+    G = Ide3dGenerator(cfg)
+    params = G.init(jax.random.PRNGKey(0))
+    ds = FakeDataset(n=8, res=32)
+    opts = MetricOptions(
+        G=G, g_params=params, dataset=ds, detector=pixel_features,
+        detector_params={}, num_items=4, batch_size=2, cond_render=True,
+    )
+    stats = compute_feature_stats_for_generator(opts)
+    mu, _ = stats.get_mean_cov()
+    assert np.isfinite(mu).all()
