@@ -176,3 +176,24 @@ def test_mask_canvas_tools():
     assert c.redo() and (c.mask[10:30, 10:30] == 13).all()
     col = c.to_color()
     assert col.shape == (64, 64, 3) and col.dtype == np.uint8
+
+
+def test_viz_layer_capture(tiny):
+    """Layer-capture parity (the reference layer widget, viz/renderer.py:408-444):
+    named intermediate activations with stats + previews."""
+    from ide3d_tpu.apps.viz_renderer import VizRenderer, VizState
+
+    G, params = tiny
+    r = VizRenderer(G, params)
+    caps = r.capture_layers(VizState(seed=1, num_steps=4))
+    names = set(caps)
+    # every vb block, renderer outputs, raw head, every superres block present
+    for res in G.synthesis.voxel_block_resolutions:
+        assert {f"vb{res}.x", f"vb{res}.img_v", f"vb{res}.seg_v"} <= names
+    assert {"renderer.feature", "renderer.seg", "renderer.depth", "raw_rgb"} <= names
+    for res in G.synthesis.block_resolutions:
+        assert {f"b{res}.x", f"b{res}.img"} <= names
+    for name, c in caps.items():
+        assert np.isfinite(c["mean"]) and np.isfinite(c["std"]), name
+        if "preview" in c:
+            assert c["preview"].ndim == 3 and c["preview"].shape[-1] == 3
