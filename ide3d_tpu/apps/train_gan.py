@@ -111,6 +111,9 @@ def main(argv=None):
     step_fn = make_gan_train_step(G, D, tcfg, mesh=mesh)
     ada = ada_init()
     ada_p = 0.0
+    if args.resume:
+        ada_p = float(meta.get("ada_p", 0.0))
+        ada = AdaState(p=jnp.asarray(ada_p), rt_accum=jnp.zeros((2,)))
     acc = StatsAccumulator()
 
     grid_z = jnp.asarray(np.random.RandomState(1).randn(16, gcfg.z_dim), jnp.float32)
@@ -175,7 +178,7 @@ def main(argv=None):
                 {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
                  "opt_g": state.opt_g, "opt_d": state.opt_d,
                  "pl_mean": state.pl_mean},
-                config=gcfg, step=int(state.step),
+                config=gcfg, step=int(state.step), ada_p=ada_p,
             )
             next_snap = cur_img + args.snap_kimg * 1000
 
@@ -183,7 +186,7 @@ def main(argv=None):
         os.path.join(args.outdir, "snapshot-final"),
         {"G": state.params_g, "D": state.params_d, "G_ema": state.params_g_ema,
          "opt_g": state.opt_g, "opt_d": state.opt_d, "pl_mean": state.pl_mean},
-        config=gcfg, step=int(state.step),
+        config=gcfg, step=int(state.step), ada_p=ada_p,
     )
     print("done")
 

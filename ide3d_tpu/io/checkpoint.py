@@ -66,15 +66,17 @@ def config_from_jsonable(obj: Any, registry: Optional[dict] = None):
     return obj
 
 
-def save_checkpoint(path: str, params, config: Any = None, step: Optional[int] = None):
-    """Save params (+config json) under `path/` using orbax."""
+def save_checkpoint(path: str, params, config: Any = None, step: Optional[int] = None,
+                    **extra_meta):
+    """Save params (+config json + any extra scalar metadata) under `path/`
+    using orbax."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(path, "params"), params, force=True)
-    meta = {"step": step}
+    meta = {"step": step, **extra_meta}
     if config is not None:
         meta["config"] = _config_to_jsonable(config)
     with open(os.path.join(path, "meta.json"), "w") as f:
