@@ -110,6 +110,17 @@ def _d_input(tcfg: GanTrainConfig, img, img_raw, seg):
     return jnp.concatenate(parts, axis=-1)
 
 
+def pose_swap(c: Optional[jax.Array], key: jax.Array, prob: float) -> Optional[jax.Array]:
+    """EG3D generator-pose conditioning: per-sample, with probability `prob`,
+    replace the MAPPING-conditioning camera with another sample's camera (a roll
+    of the batch = a draw from the dataset pose distribution). Rendering and D
+    conditioning keep the true c."""
+    if prob <= 0 or c is None:
+        return c
+    swap = jax.random.uniform(key, (c.shape[0], 1)) < prob
+    return jnp.where(swap, jnp.roll(c, 1, axis=0), c)
+
+
 def make_gan_train_step(
     G: Ide3dGenerator,
     D: Discriminator,
@@ -127,13 +138,7 @@ def make_gan_train_step(
     def _map_ws(params_g, z, c, rng):
         """Mapping with pose-conditioning swap + style mixing."""
         k_swap, k_mix, k_z2, k_cut = jax.random.split(rng, 4)
-        # EG3D generator-pose conditioning: with prob gpc_swap_prob, condition the
-        # mapping on another sample's camera (roll of the batch = a draw from the
-        # dataset pose distribution); rendering uses the true c.
-        c_map = c
-        if tcfg.gpc_swap_prob > 0 and c is not None:
-            swap = jax.random.uniform(k_swap, (z.shape[0], 1)) < tcfg.gpc_swap_prob
-            c_map = jnp.where(swap, jnp.roll(c, 1, axis=0), c)
+        c_map = pose_swap(c, k_swap, tcfg.gpc_swap_prob)
         ws = G.mapping(params_g["mapping"], z, c_map)
         if tcfg.style_mixing_prob > 0:
             # StyleGAN2 mixing regularization: with prob p, rows >= cutoff come

@@ -509,3 +509,47 @@ def test_encoder_step_with_perceptual_losses():
     assert expected <= set(stats), set(stats)
     for k, v in stats.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_generator_pose_conditioning_swap():
+    """VERDICT item 5: the mapping sees a camera resampled from the batch pose
+    distribution while rendering keeps the true c."""
+    from ide3d_tpu.train.gan import pose_swap
+
+    c = jnp.asarray(np.arange(4 * 25, dtype=np.float32).reshape(4, 25))
+    # prob=0 -> identity; prob=1 -> exact roll of the batch
+    np.testing.assert_array_equal(np.asarray(pose_swap(c, jax.random.PRNGKey(0), 0.0)), np.asarray(c))
+    swapped = np.asarray(pose_swap(c, jax.random.PRNGKey(0), 1.0))
+    np.testing.assert_array_equal(swapped, np.roll(np.asarray(c), 1, axis=0))
+    assert pose_swap(None, jax.random.PRNGKey(0), 1.0) is None
+    # fractional prob: every row is either its own or the rolled camera
+    part = np.asarray(pose_swap(c, jax.random.PRNGKey(1), 0.5))
+    rolled = np.roll(np.asarray(c), 1, axis=0)
+    for i in range(4):
+        assert (part[i] == np.asarray(c)[i]).all() or (part[i] == rolled[i]).all()
+
+    # step-level: with swap prob 1 vs 0 the G loss differs (same rng/batch),
+    # i.e. the mapping-conditioning path is genuinely decoupled from rendering
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(GanTrainConfig(), gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    batch = make_batch(4, 32)
+    # distinct per-sample cameras so the roll actually changes conditioning
+    cs = []
+    for i in range(4):
+        c2w = render.look_at_pose(np.pi / 2 + 0.4 * (i - 1.5), np.pi / 2,
+                                  [0.0, 0.0, 0.0], radius=2.7)
+        cs.append(np.asarray(render.make_label_25(c2w))[0])
+    batch["c"] = jnp.asarray(np.stack(cs))
+
+    outs = {}
+    for prob in (0.0, 1.0):
+        tcfg = GanTrainConfig(r1_interval=4, style_mixing_prob=0.0,
+                              use_ada=False, gpc_swap_prob=prob)
+        state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+        step = make_gan_train_step(G, D, tcfg)
+        _, stats = step(state, batch, jax.random.PRNGKey(1), 0.0)
+        outs[prob] = float(stats["loss_g"])
+    assert abs(outs[0.0] - outs[1.0]) > 1e-7
