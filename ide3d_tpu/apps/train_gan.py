@@ -153,12 +153,16 @@ def main(argv=None):
                 ada_p = float(ada.p)
 
         if cur_img % (args.batch * 100) == 0:
+            # interval MEANS, not the last step's instantaneous values (lazy
+            # regularizers like R1/PL fire on a sub-interval and would otherwise
+            # always print as 0)
             line = {
                 "kimg": cur_img / 1000,
                 "time_h": (time.time() - t_start) / 3600,
                 "ada_p": ada_p,
-                **{k: float(np.asarray(v).mean()) for k, v in stats.items()},
+                **{k: acc.mean(k) for k in sorted(stats)},
             }
+            acc.reset()
             print(json.dumps(line, default=float))
             with open(os.path.join(args.outdir, "stats.jsonl"), "a") as f:
                 f.write(json.dumps(line, default=float) + "\n")

@@ -41,7 +41,7 @@ import dataclasses
 import io as _io
 import pickle
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -315,6 +315,7 @@ def import_generator(
     render_size: int = 64,
     num_steps: int = 96,
     dtype: str = "bfloat16",
+    extra_map: Optional[Dict[str, tuple]] = None,
 ):
     """Reference generator state dict -> (Ide3dGenerator, params, ImportReport).
 
@@ -392,6 +393,15 @@ def import_generator(
         _map_block_tensors(
             sd, f"synthesis.b{r}.", ("synthesis", f"b{r}"), params, (imported, skipped)
         )
+    # explicit extra mappings (e.g. the pickled renderer's decoder once its
+    # names are known from inspecting a real checkpoint):
+    # {torch_name: ("synthesis", "renderer", "dec_w1")}; 2D weights are
+    # transposed like FC weights, 4D like convs.
+    for src, dest in (extra_map or {}).items():
+        if src in sd:
+            _set_leaf(params, tuple(dest), _convert_leaf(src, sd[src]))
+            imported.append(src)
+
     # anything else under synthesis.* (renderer internals etc.)
     handled = set(imported) | set(skipped)
     for name in sd:

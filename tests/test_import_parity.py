@@ -640,3 +640,21 @@ def test_pickle_payload_walker_stubbed_classes(tmp_path, tiny_g):
     G, params, report = import_generator(sds["G_ema"], render_size=8, num_steps=4,
                                          dtype="float32")
     assert report.skipped_source == ()
+
+
+def test_import_generator_extra_map(tiny_g):
+    """extra_map routes tensors with unknown names (e.g. a real checkpoint's
+    renderer decoder) into explicit destinations with layout conversion."""
+    sd = {k: v.numpy() for k, v in tiny_g.state_dict().items()}
+    G0, params0, _ = import_generator(sd, render_size=8, num_steps=4, dtype="float32")
+    dec = np.asarray(params0["synthesis"]["renderer"]["dec_w1"])
+    custom = np.random.RandomState(0).randn(*dec.shape[::-1]).astype(np.float32)
+    sd2 = dict(sd)
+    sd2["synthesis.renderer.mlp.0.weight"] = custom  # torch [out, in]
+    G, params, report = import_generator(
+        sd2, render_size=8, num_steps=4, dtype="float32",
+        extra_map={"synthesis.renderer.mlp.0.weight": ("synthesis", "renderer", "dec_w1")},
+    )
+    np.testing.assert_array_equal(np.asarray(params["synthesis"]["renderer"]["dec_w1"]),
+                                  custom.T)
+    assert "synthesis.renderer.mlp.0.weight" not in report.skipped_source
