@@ -47,13 +47,23 @@ def main():
     if args.metric == "edit_loop":
         return bench_edit_loop(G, params, args)
 
+    # The shipped latency path: the frame as TWO chained XLA programs
+    # (models/generator.make_two_phase_frame; ~10% faster than the fused
+    # program on v5e, PERF.md round 2).
+    from ide3d_tpu.models.generator import make_two_phase_frame
+
+    two_phase = make_two_phase_frame(G.synthesis, rp, return_seg=True)
+
     @jax.jit
+    def _checksum(img, seg):
+        return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+
     def frame(params, ws, c):
-        img, seg = G.synthesis(params["synthesis"], ws, c, return_seg=True)
+        img, seg = two_phase(params["synthesis"], ws, c)
         # scalar checksum: forces a true device sync on readback (the axon
         # backend's block_until_ready does not reliably wait; see
         # .claude/skills/verify/SKILL.md)
-        return img, seg, jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+        return img, seg, _checksum(img, seg)
 
     @jax.jit
     def _noop(x):

@@ -483,6 +483,61 @@ class Ide3dSynthesisNetwork:
         return jax.image.resize(seg_raw, (B, R, R, C), method="bilinear")
 
 
+def make_two_phase_frame(
+    S: Ide3dSynthesisNetwork,
+    render_params: Optional[RenderParams] = None,
+    return_seg: bool = True,
+):
+    """Latency-optimized free-view frame: the pipeline split into TWO jitted XLA
+    programs at the coarse/fine renderer boundary — measured ~10% faster than
+    the fused single program on v5e (PERF.md round 2; XLA schedules the fused
+    hierarchical program worse than its halves). Training keeps the fused path
+    (one program differentiates end-to-end); interactive/serving paths use this.
+
+    Returns frame(params, ws, c) -> img | (img, seg). Async dispatch chains the
+    two programs; callers sync once on the output.
+    """
+    import jax
+
+    cfg = S.cfg
+    rp = render_params or cfg.render
+    dt = jnp.dtype(cfg.dtype)
+    R = S.renderer
+
+    @jax.jit
+    def phase1(params, ws, c):
+        img_v, seg_v = S.generate_planes(params, ws)
+        cam2world = c[:, :16].reshape(-1, 4, 4).astype(jnp.float32)
+        volume = None
+        if cfg.use_feature_volume:
+            volume = S._feature_volume()(params["feature_volume"], ws[:, 0]).astype(dt)
+        return R.render_coarse(
+            params["renderer"], img_v.astype(dt), seg_v.astype(dt), cam2world, rp,
+            volume=volume,
+        )
+
+    @jax.jit
+    def phase2(params, ws, st):
+        rout = R.render_fine(params["renderer"], st, rp)
+        n_vb = len(S.voxel_block_resolutions)
+        if cfg.raw_head == "slice":
+            img_raw = rout["feature"][..., :3].astype(jnp.float32)
+        else:
+            raw_row = S._vb_num_conv_total if cfg.vb_ref_compat else n_vb + 1
+            img_raw = S._raw_rgb()(
+                params["raw_rgb"], rout["feature"].astype(dt), ws[:, raw_row]
+            ).astype(jnp.float32)
+        img = S.superresolve(params, rout["feature"], img_raw, ws)
+        if return_seg:
+            return img, S._upsample_seg(rout["seg"])
+        return img
+
+    def frame(params, ws, c):
+        return phase2(params, ws, phase1(params, ws, c))
+
+    return frame
+
+
 @dataclasses.dataclass(frozen=True)
 class Ide3dGenerator:
     """mapping + synthesis bundle; params = {'mapping': ..., 'synthesis': ...}."""

@@ -183,7 +183,7 @@ class TriplaneRenderer:
 
     # ----------------------------------------------------------------- rendering
 
-    def render(
+    def render_coarse(
         self,
         params: dict,
         img_v: jax.Array,  # [B, res, res, 3*32]
@@ -191,13 +191,14 @@ class TriplaneRenderer:
         cam2world: jax.Array,  # [B, 4, 4]
         rp: RenderParams,
         key: Optional[jax.Array] = None,
-        volume: Optional[jax.Array] = None,  # hybrid voxel branch [B,D,H,W,feat]
+        volume: Optional[jax.Array] = None,
     ) -> dict:
-        """Volume-render feature image + semantics + depth at rp.img_size.
+        """Phase 1: quad table + coarse pass (+ importance z when hierarchical).
 
-        Returns dict(feature [B,H,W,32], seg [B,H,W,19], depth [B,H,W,1],
-        weights_sum [B,H,W,1]).
-        """
+        Returns the intermediate state consumed by `render_fine`. Splitting the
+        frame at this boundary into TWO XLA programs measured ~10% faster than
+        one fused program on v5e (PERF.md round 2) — `render` composes both for
+        the single-program path used in training."""
         B = img_v.shape[0]
         S = rp.num_steps
         W = H = rp.img_size
@@ -219,6 +220,14 @@ class TriplaneRenderer:
         coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3), volume=volume)
         coarse = coarse.reshape(B, Rr, S, self.out_channels)
 
+        st = {
+            "quad": quad, "coarse": coarse, "z_vals": z_vals,
+            "rays_d_cam": rays_d_cam, "dirs": dirs, "origins": origins,
+        }
+        if volume is not None:
+            st["volume"] = volume
+        if k_noise is not None:
+            st["k_noise"] = k_noise
         if rp.hierarchical:
             # Weights-only coarse pass.
             _, _, weights = integrate_rays(
@@ -233,10 +242,25 @@ class TriplaneRenderer:
             z_flat = z_vals.reshape(B * Rr, S)
             z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
             fine_z = sample_pdf(k_fine, z_mid, w_flat, S, det=(key is None))
-            fine_z = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
+            st["fine_z"] = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
+        return st
 
-            fine_pts = origins[:, :, None, :] + dirs[:, :, None, :] * fine_z
-            fine = self._sample_52(params, quad, fine_pts.reshape(B, Rr * S, 3), volume=volume)
+    def render_fine(self, params: dict, st: dict, rp: RenderParams) -> dict:
+        """Phase 2: fine pass + depth sort + compositing. Consumes render_coarse
+        output; returns the `render` result dict."""
+        coarse, z_vals = st["coarse"], st["z_vals"]
+        rays_d_cam = st["rays_d_cam"]
+        B, Rr, S, _ = coarse.shape
+        W = H = rp.img_size
+        k_noise = st.get("k_noise")
+        volume = st.get("volume")
+
+        if rp.hierarchical:
+            fine_z = st["fine_z"]
+            fine_pts = st["origins"][:, :, None, :] + st["dirs"][:, :, None, :] * fine_z
+            fine = self._sample_52(
+                params, st["quad"], fine_pts.reshape(B, Rr * S, 3), volume=volume
+            )
             fine = fine.reshape(B, Rr, S, self.out_channels)
 
             all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,2S,1]
@@ -263,3 +287,22 @@ class TriplaneRenderer:
             "depth": depth.reshape(B, H, W, 1),
             "weights_sum": weights.sum(axis=-2).reshape(B, H, W, 1),
         }
+
+    def render(
+        self,
+        params: dict,
+        img_v: jax.Array,  # [B, res, res, 3*32]
+        seg_v: jax.Array,  # [B, res, res, 3*19]
+        cam2world: jax.Array,  # [B, 4, 4]
+        rp: RenderParams,
+        key: Optional[jax.Array] = None,
+        volume: Optional[jax.Array] = None,  # hybrid voxel branch [B,D,H,W,feat]
+    ) -> dict:
+        """Volume-render feature image + semantics + depth at rp.img_size.
+
+        Returns dict(feature [B,H,W,32], seg [B,H,W,19], depth [B,H,W,1],
+        weights_sum [B,H,W,1]).
+        """
+        st = self.render_coarse(params, img_v, seg_v, cam2world, rp, key=key,
+                                volume=volume)
+        return self.render_fine(params, st, rp)

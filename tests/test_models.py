@@ -359,3 +359,37 @@ def test_sg3_superres_generator():
     assert img.shape == (1, 64, 64, 3)
     assert seg.shape == (1, 64, 64, 19)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_two_phase_frame_matches_fused(tiny_G):
+    """The latency-optimized two-program frame must be numerically identical to
+    the fused single-program synthesis (same params/ws/c, deterministic path)."""
+    from ide3d_tpu.models.generator import make_two_phase_frame
+
+    G, params = tiny_G
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, G.cfg.z_dim))
+    c = canonical_c(2)
+    ws = G.mapping(params["mapping"], z, c)
+    img_1, seg_1 = jax.jit(
+        lambda p, w, cc: G.synthesis(p, w, cc, return_seg=True)
+    )(params["synthesis"], ws, c)
+    frame = make_two_phase_frame(G.synthesis, G.cfg.render, return_seg=True)
+    img_2, seg_2 = frame(params["synthesis"], ws, c)
+    np.testing.assert_allclose(np.asarray(img_2), np.asarray(img_1), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg_2), np.asarray(seg_1), atol=1e-5, rtol=1e-5)
+
+
+def test_two_phase_frame_hybrid(tiny_G):
+    """Two-phase frame carries the hybrid voxel branch too."""
+    from ide3d_tpu.models.generator import make_two_phase_frame
+
+    cfg = tiny_cfg(use_feature_volume=True, fv_resolution=8, fv_base_channels=16)
+    G = Ide3dGenerator(cfg)
+    params = G.init(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.z_dim))
+    c = canonical_c(1)
+    ws = G.mapping(params["mapping"], z, c)
+    img_1 = jax.jit(lambda p, w, cc: G.synthesis(p, w, cc))(params["synthesis"], ws, c)
+    frame = make_two_phase_frame(G.synthesis, cfg.render, return_seg=False)
+    img_2 = frame(params["synthesis"], ws, c)
+    np.testing.assert_allclose(np.asarray(img_2), np.asarray(img_1), atol=1e-5, rtol=1e-5)
