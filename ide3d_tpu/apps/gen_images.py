@@ -24,7 +24,7 @@ def main(argv=None):
     ap.add_argument("--seeds", required=True, help="e.g. 0,1,4-6")
     ap.add_argument("--trunc", type=float, default=1.0, dest="truncation_psi")
     ap.add_argument("--noise-mode", choices=["const", "random", "none"], default="const")
-    ap.add_argument("--num-steps", type=int, default=48)
+    ap.add_argument("--num-steps", type=int, default=96)  # reference budget (gen_images.py:102)
     ap.add_argument("--outdir", required=True)
     args = ap.parse_args(argv)
 

@@ -30,7 +30,7 @@ def main(argv=None):
     ap.add_argument("--truncation-cutoff", type=int, default=14)
     ap.add_argument("--image-mode", choices=["image", "image_seg", "image_depth"],
                     default="image")
-    ap.add_argument("--num-steps", type=int, default=48)
+    ap.add_argument("--num-steps", type=int, default=96)  # reference budget (gen_images.py:102)
     ap.add_argument("--fps", type=int, default=24)
     ap.add_argument("--output", required=True)
     args = ap.parse_args(argv)

@@ -8,11 +8,14 @@ stroke / slider move —
   4. appearance lock: rec_ws[:, 8:] = w_prev[:, 8:] when editing an inversion (:198),
   5. re-render: fake = G.synthesis(rec_ws, cam) (:199).
 
-That is two full G passes + one E pass per interaction. Here the WHOLE loop is one
-jitted `edit_step` XLA program — no host round trips between the passes, static
-shapes so it never recompiles across strokes, camera pose passed as data. The PyQt
-frontend (or any UI) calls `PainterSession.edit(mask, yaw, pitch)` and gets back
-(image, colorized seg, new latent state).
+That is two full G passes + one E pass per interaction. Here the loop runs as a
+CHAIN of jitted XLA programs with no host round trips between them (async
+dispatch, one sync on the output): each G pass uses the two-program frame split
+that measured ~10% faster than fused programs on v5e (PERF.md round 2,
+models/generator.make_two_phase_frame), plus one encode program. Static shapes
+throughout, so it never recompiles across strokes; camera pose is data. The
+frontend (apps/web_ui.py, or any UI) calls `PainterSession.edit(mask, yaw,
+pitch)` and gets back (image, colorized seg, new latent state).
 """
 
 from __future__ import annotations
@@ -33,21 +36,33 @@ from ..utils.seg import mask2color, mask2onehot
 
 
 def make_edit_step(G: Ide3dGenerator, E: HybridEncoder, lock_appearance: bool = True):
-    """Build the jitted edit step:
+    """Build the edit step:
 
     edit_step(g_params, e_params, mask_onehot_pm [1,R,R,19], w_prev [1,18,512],
               c [1,25]) -> (img [1,R,R,3], seg [1,R,R,19], rec_ws [1,18,512])
+
+    Internally a chain of jitted programs (G two-phase render -> encode ->
+    G two-phase render) — async-dispatched, no host sync until the caller reads
+    the output.
     """
+    from ..models.generator import make_two_phase_frame
+
     n_geo = G.synthesis.num_ws_geo
+    frame_noseg = make_two_phase_frame(G.synthesis, return_seg=False)
+    frame_seg = make_two_phase_frame(G.synthesis, return_seg=True)
 
     @jax.jit
-    def edit_step(g_params, e_params, seg_pm, w_prev, c):
-        gen_img = G.synthesis(g_params["synthesis"], w_prev, c)
+    def encode(g_params, e_params, gen_img, seg_pm, w_prev):
         rec_ws = E(e_params, gen_img, seg_pm)
         rec_ws = rec_ws + g_params["mapping"]["w_avg"][None, None, :]
         if lock_appearance:
             rec_ws = jnp.concatenate([rec_ws[:, :n_geo], w_prev[:, n_geo:]], axis=1)
-        img, seg = G.synthesis(g_params["synthesis"], rec_ws, c, return_seg=True)
+        return rec_ws
+
+    def edit_step(g_params, e_params, seg_pm, w_prev, c):
+        gen_img = frame_noseg(g_params["synthesis"], w_prev, c)
+        rec_ws = encode(g_params, e_params, gen_img, seg_pm, w_prev)
+        img, seg = frame_seg(g_params["synthesis"], rec_ws, c)
         return img, seg, rec_ws
 
     return edit_step

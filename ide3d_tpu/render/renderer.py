@@ -74,7 +74,9 @@ class RenderParams:
     h_mean/v_mean — callers sample poses explicitly with render.camera utilities."""
 
     img_size: int = 64
-    num_steps: int = 48  # coarse steps; hierarchical adds the same again
+    # coarse steps; hierarchical adds the same again. 96 = the reference budget
+    # (gen_images.py:102 + sample_pdf importance pass)
+    num_steps: int = 96
     fov: float = 18.0
     ray_start: float = 2.25
     ray_end: float = 3.3
