@@ -557,6 +557,14 @@ def load_network_pkl(path: str, **gen_kwargs) -> dict:
     payload = load_pickle_tensors(path)
     sds = pickle_payload_to_state_dicts(payload)
     out = {}
+    # w_dim is not recoverable from an encoder state dict alone (projector rows
+    # are n_latents * w_dim); take it from the generator in the same pkl.
+    w_dim = 512
+    for gkey in ("G_ema", "G"):
+        if gkey in sds and "mapping.fc0.bias" in sds[gkey]:
+            n_fc = len(_res_of(sds[gkey], r"mapping\.fc(\d+)\.weight$"))
+            w_dim = int(sds[gkey][f"mapping.fc{n_fc - 1}.bias"].shape[0])
+            break
     for key, sd in sds.items():
         try:
             if key in ("G", "G_ema"):
@@ -564,7 +572,7 @@ def load_network_pkl(path: str, **gen_kwargs) -> dict:
             elif key == "D":
                 out[key] = import_discriminator(sd)
             elif key == "E":
-                out[key] = import_encoder(sd)
+                out[key] = import_encoder(sd, w_dim=w_dim)
         except Exception as e:  # keep going; report per-entry failures
             out[key] = e
     return out

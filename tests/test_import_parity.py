@@ -658,3 +658,57 @@ def test_import_generator_extra_map(tiny_g):
     np.testing.assert_array_equal(np.asarray(params["synthesis"]["renderer"]["dec_w1"]),
                                   custom.T)
     assert "synthesis.renderer.mlp.0.weight" not in report.skipped_source
+
+
+def test_load_network_pkl_end_to_end(tmp_path, tiny_g, monkeypatch):
+    """legacy.load_network_pkl semantics: one .pkl with G_ema + D + E -> all
+    three imported frameworks, via the stub unpickler (classes unavailable)."""
+    import types
+
+    import ide3d_tpu.models.encoder as enc_mod
+    from ide3d_tpu.io.torch_import import load_network_pkl
+
+    # the fixture encoder is built on a narrowed channel schedule (real
+    # checkpoints follow the reference _CHANNELS table, networks.py:1564-1574)
+    channels = {16: 8, 8: 10, 4: 12}
+    monkeypatch.setattr(enc_mod, "_CHANNELS", channels)
+
+    torch.manual_seed(9)
+    tiny_d = TinyD()
+    _randomize(tiny_d, 10)
+    tiny_e = TinyHybridEncoder(channels, n_app=3, n_geo=2, w_dim=W_DIM)
+    _randomize(tiny_e, 11)
+
+    classes = (TinyG, TinySynthesis, TSegBlock, TSynthBlock, TSynthesisLayer,
+               TToRGB, TFC, TMapping, TinyD, TDBlock, TConv2dLayer,
+               TinyHybridEncoder, TEncResBlock)
+    fake = types.ModuleType("fake_pickled_networks2")
+    orig = {}
+    for cls in classes:
+        setattr(fake, cls.__name__, cls)
+        orig[cls] = cls.__module__
+        cls.__module__ = "fake_pickled_networks2"
+    sys.modules["fake_pickled_networks2"] = fake
+    try:
+        path = tmp_path / "net.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"G_ema": tiny_g, "D": tiny_d, "E": tiny_e,
+                         "training_set_kwargs": {"path": "x"}}, f)
+    finally:
+        del sys.modules["fake_pickled_networks2"]
+        for cls, mod in orig.items():
+            cls.__module__ = mod
+
+    out = load_network_pkl(str(path), render_size=8, num_steps=4, dtype="float32")
+    assert set(out) >= {"G_ema", "D"}
+    G, gp, grep = out["G_ema"]
+    assert not isinstance(G, Exception) and grep.skipped_source == ()
+    D, dp, drep = out["D"]
+    # fixture D lacks mapping.w_avg only (not saved by reference either)
+    assert drep.skipped_source == () or drep.skipped_source == ("mapping.w_avg",)
+    E, ep, erep = out["E"]
+    assert erep.skipped_source == ()
+    # imported nets run
+    img = jax.jit(lambda p, z, c: G(p, z, c))(gp, jnp.zeros((1, Z_DIM)),
+                                              jnp.zeros((1, C_DIM)))
+    assert np.isfinite(np.asarray(img)).all()
