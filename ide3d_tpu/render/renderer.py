@@ -188,12 +188,14 @@ class TriplaneRenderer:
     def render_coarse(
         self,
         params: dict,
-        img_v: jax.Array,  # [B, res, res, 3*32]
-        seg_v: jax.Array,  # [B, res, res, 3*19]
+        img_v: Optional[jax.Array],  # [B, res, res, 3*32]; None when quad given
+        seg_v: Optional[jax.Array],  # [B, res, res, 3*19]
         cam2world: jax.Array,  # [B, 4, 4]
         rp: RenderParams,
         key: Optional[jax.Array] = None,
         volume: Optional[jax.Array] = None,
+        quad: Optional[jax.Array] = None,  # prebuilt table (build_table), cached
+        # per identity by interactive callers (apps/viz_renderer.py)
     ) -> dict:
         """Phase 1: quad table + coarse pass (+ importance z when hierarchical).
 
@@ -201,7 +203,7 @@ class TriplaneRenderer:
         frame at this boundary into TWO XLA programs measured ~10% faster than
         one fused program on v5e (PERF.md round 2) — `render` composes both for
         the single-program path used in training."""
-        B = img_v.shape[0]
+        B = cam2world.shape[0]
         S = rp.num_steps
         W = H = rp.img_size
         Rr = W * H
@@ -218,7 +220,8 @@ class TriplaneRenderer:
 
         pts, dirs, origins = transform_rays_to_world(points_cam, rays_d_cam, cam2world)
 
-        quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
+        if quad is None:
+            quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
         coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3), volume=volume)
         coarse = coarse.reshape(B, Rr, S, self.out_channels)
 
