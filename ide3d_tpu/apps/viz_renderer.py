@@ -83,6 +83,14 @@ class VizRenderer:
         p2 = jax.jit(phase2, static_argnames=("rp",))
         self._frame_fn = lambda p, quad, ws, c, rp: p2(p, p1(p, quad, c, rp), ws, rp)
 
+        # On-device uint8 conversion: the host pull is the latency bottleneck on
+        # remote-host links (measured 491 ms for a 3 MB fp32 512^2 image over the
+        # tunneled TPU vs ~4x less as uint8); production hosts also benefit.
+        self._to_u8 = jax.jit(
+            lambda x: jnp.clip(jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+        )
+        self._seg_color_u8 = None  # built lazily (imports utils.seg)
+
     # ------------------------------------------------------------- layer capture
 
     def capture_layers(self, st: VizState) -> dict:
@@ -202,13 +210,17 @@ class VizRenderer:
         )
 
         if st.render_type == "image":
-            out = np.asarray((img[0] + 1) * 127.5)
+            out = np.asarray(self._to_u8(img[0])).astype(np.float32)
         elif st.render_type == "raw":
-            out = np.asarray((img_raw[0] + 1) * 127.5)
+            out = np.asarray(self._to_u8(img_raw[0])).astype(np.float32)
         elif st.render_type == "seg":
             from ..utils.seg import mask2color
 
-            out = np.asarray(mask2color(seg))[0]
+            if self._seg_color_u8 is None:
+                self._seg_color_u8 = self._jax.jit(
+                    lambda s: mask2color(s).astype(self._jnp.uint8)
+                )
+            out = np.asarray(self._seg_color_u8(seg))[0].astype(np.float32)
         elif st.render_type == "depth":
             d = np.asarray(depth[0, ..., 0])
             d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
