@@ -92,6 +92,13 @@ class PainterSession:
 
         self._render = _render
 
+        # on-device uint8 conversion: host pulls are the interactive bottleneck
+        # on remote-host links (see apps/viz_renderer.py / PERF.md)
+        self._img_u8 = jax.jit(
+            lambda x: jnp.clip(jnp.round((x + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+        )
+        self._seg_u8 = jax.jit(lambda s: mask2color(s).astype(jnp.uint8))
+
     # ------------------------------------------------------------------ latents
 
     def set_seed(self, seed: int, truncation_psi: float = 0.7):
@@ -122,7 +129,8 @@ class PainterSession:
         """Free-view render of the current latent (no mask edit)."""
         assert self.w is not None, "call set_seed or set_inversion first"
         img, seg = self._render(self.g_params, self.w, self.camera(yaw, pitch))
-        return self._to_uint8(img), np.asarray(mask2color(seg))[0].astype(np.uint8)
+        return (np.asarray(self._img_u8(img[0])),
+                np.asarray(self._seg_u8(seg))[0])
 
     def edit(
         self, mask: np.ndarray, yaw: float = 0.0, pitch: float = 0.0
@@ -144,7 +152,8 @@ class PainterSession:
                  "t": _time.time()}
             )
         self.w = rec_ws
-        return self._to_uint8(img), np.asarray(mask2color(seg))[0].astype(np.uint8)
+        return (np.asarray(self._img_u8(img[0])),
+                np.asarray(self._seg_u8(seg))[0])
 
     # -------------------------------------------------------------- session log
 
