@@ -442,10 +442,13 @@ def import_discriminator(sd: Dict[str, np.ndarray], dtype: str = "bfloat16"):
     channel_max = max(ch.values())
     channel_base = ch[img_resolution] * img_resolution
     # D's conditioning mapping has z_dim=0: fc0 consumes the label EMBEDDING
-    # (networks.py:246-325), so c_dim comes from embed.weight's in-features.
+    # (networks.py:246-325), so c_dim comes from embed.weight's in-features; the
+    # mapping DEPTH comes from the fc count (a shallower checkpoint mapping must
+    # not leave extra framework layers at their random init).
     has_cmap = "mapping.embed.weight" in sd
     c_dim = int(sd["mapping.embed.weight"].shape[1]) if has_cmap else 0
     cmap_dim = int(sd["mapping.embed.weight"].shape[0]) if has_cmap else None
+    n_map_fc = len(_res_of(sd, r"mapping\.fc(\d+)\.weight$")) if has_cmap else 8
 
     cfg = DiscriminatorConfig(
         c_dim=c_dim,
@@ -454,6 +457,7 @@ def import_discriminator(sd: Dict[str, np.ndarray], dtype: str = "bfloat16"):
         channel_base=channel_base,
         channel_max=channel_max,
         cmap_dim=cmap_dim,
+        mapping_num_layers=n_map_fc or 8,
         dtype=dtype,
     )
     D = Discriminator(cfg)

@@ -132,6 +132,7 @@ class DiscriminatorConfig:
     channel_base: int = 32768
     channel_max: int = 512
     cmap_dim: Optional[int] = None
+    mapping_num_layers: int = 8  # conditioning-mapping depth (networks.py:1487)
     dtype: str = "bfloat16"
 
 
@@ -170,7 +171,7 @@ class Discriminator:
             return None
         return MappingNetwork(
             z_dim=0, c_dim=self.cfg.c_dim, w_dim=self.cmap_dim, num_ws=None,
-            w_avg_beta=None,
+            w_avg_beta=None, num_layers=self.cfg.mapping_num_layers,
         )
 
     def _epilogue(self) -> DiscriminatorEpilogue:
