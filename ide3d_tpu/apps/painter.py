@@ -175,7 +175,3 @@ class PainterSession:
         for i in range(len(data["yaw"])):
             yield self.edit(data["masks"][i], float(data["yaw"][i]), float(data["pitch"][i]))
 
-    @staticmethod
-    def _to_uint8(img: jax.Array) -> np.ndarray:
-        x = (np.asarray(img[0]) + 1.0) * 127.5
-        return np.rint(x).clip(0, 255).astype(np.uint8)
