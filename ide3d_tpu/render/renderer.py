@@ -74,9 +74,15 @@ class RenderParams:
     h_mean/v_mean — callers sample poses explicitly with render.camera utilities."""
 
     img_size: int = 64
-    # coarse steps; hierarchical adds the same again. 96 = the reference budget
+    # coarse steps; hierarchical adds fine_steps more. 96 = the reference budget
     # (gen_images.py:102 + sample_pdf importance pass)
     num_steps: int = 96
+    # importance samples for the hierarchical pass; None = num_steps (the
+    # reference 1:1 split). A TPU-friendly STATIC-budget reallocation lever:
+    # e.g. num_steps=64, fine_steps=128 spends the same 192 samples/ray with
+    # more of the budget guided by the coarse density (NerfAcc-style occupancy
+    # skipping without dynamic shapes, PERF.md "related techniques").
+    fine_steps: Optional[int] = None
     fov: float = 18.0
     ray_start: float = 2.25
     ray_end: float = 3.3
@@ -246,8 +252,9 @@ class TriplaneRenderer:
             w_flat = weights.reshape(B * Rr, S)[:, 1:-1]
             z_flat = z_vals.reshape(B * Rr, S)
             z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
-            fine_z = sample_pdf(k_fine, z_mid, w_flat, S, det=(key is None))
-            st["fine_z"] = jax.lax.stop_gradient(fine_z).reshape(B, Rr, S, 1)
+            F = rp.fine_steps if rp.fine_steps is not None else S
+            fine_z = sample_pdf(k_fine, z_mid, w_flat, F, det=(key is None))
+            st["fine_z"] = jax.lax.stop_gradient(fine_z).reshape(B, Rr, F, 1)
         return st
 
     def render_fine(self, params: dict, st: dict, rp: RenderParams) -> dict:
@@ -262,13 +269,14 @@ class TriplaneRenderer:
 
         if rp.hierarchical:
             fine_z = st["fine_z"]
+            F = fine_z.shape[2]
             fine_pts = st["origins"][:, :, None, :] + st["dirs"][:, :, None, :] * fine_z
             fine = self._sample_52(
-                params, st["quad"], fine_pts.reshape(B, Rr * S, 3), volume=volume
+                params, st["quad"], fine_pts.reshape(B, Rr * F, 3), volume=volume
             )
-            fine = fine.reshape(B, Rr, S, self.out_channels)
+            fine = fine.reshape(B, Rr, F, self.out_channels)
 
-            all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,2S,1]
+            all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,S+F,1]
             all_out = jnp.concatenate([coarse, fine], axis=-2)
             all_z, all_out = _sort_by_depth(all_z, all_out)
         else:

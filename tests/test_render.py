@@ -222,3 +222,34 @@ def test_sample_voxel_contract(rng):
         np.asarray(sample_from_triplane(coords, seg_v)),
         atol=1e-5,
     )
+
+
+def test_fine_steps_budget_reallocation():
+    """RenderParams.fine_steps: static-budget importance reallocation — fewer
+    coarse + more importance samples, same total per ray (PERF.md lever).
+    Output shapes hold and renders stay finite; fine_steps=None == 1:1 split."""
+    import jax
+
+    from ide3d_tpu.render.renderer import RenderParams, TriplaneRenderer
+
+    R = TriplaneRenderer(feature_channels=8, seg_channels=5)
+    params = R.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    img_v = jnp.asarray(rng.randn(1, 16, 16, 3 * 8).astype(np.float32))
+    seg_v = jnp.asarray(rng.randn(1, 16, 16, 3 * 5).astype(np.float32))
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.7
+    c2w = jnp.asarray(c2w)[None]
+
+    rp_realloc = RenderParams(img_size=8, num_steps=6, fine_steps=18)
+    out = R.render(params, img_v, seg_v, c2w, rp_realloc)
+    assert out["feature"].shape == (1, 8, 8, 8)
+    assert np.isfinite(np.asarray(out["feature"])).all()
+
+    # equal-split equivalence: fine_steps=S must equal fine_steps=None
+    rp_a = RenderParams(img_size=8, num_steps=8, fine_steps=None)
+    rp_b = RenderParams(img_size=8, num_steps=8, fine_steps=8)
+    out_a = R.render(params, img_v, seg_v, c2w, rp_a)
+    out_b = R.render(params, img_v, seg_v, c2w, rp_b)
+    np.testing.assert_allclose(np.asarray(out_a["feature"]),
+                               np.asarray(out_b["feature"]), atol=1e-6)
