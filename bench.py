@@ -33,6 +33,9 @@ def main():
                     help="coarse ray steps (hierarchical doubles total); 96 = "
                          "the reference budget")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--fine-steps", type=int, default=None,
+                    help="importance samples (None = num_steps; static-budget "
+                         "reallocation lever, PERF.md)")
     ap.add_argument("--metric", choices=["fps", "edit_loop"], default="fps")
     args = ap.parse_args()
 
@@ -40,7 +43,8 @@ def main():
     from ide3d_tpu.render.renderer import RenderParams
     from ide3d_tpu import render
 
-    rp = RenderParams(img_size=64, num_steps=args.num_steps, hierarchical=True)
+    rp = RenderParams(img_size=64, num_steps=args.num_steps,
+                      fine_steps=args.fine_steps, hierarchical=True)
     G = Ide3dGenerator(GeneratorConfig(render=rp))
     params = jax.jit(G.init)(jax.random.PRNGKey(0))
 
