@@ -92,6 +92,42 @@ class PainterSession:
 
         self._render = _render
 
+        # Free-view fast path: planes + quad table cached per latent (the
+        # visualizer's backbone-cache trick, viz/renderer.py:373-377) — pose-only
+        # slider moves skip plane generation entirely.
+        S = self.G.synthesis
+        dt = jnp.dtype(self.G.cfg.dtype)
+        rp = self.G.cfg.render
+        self._plane_quad_fn = jax.jit(
+            lambda p, w: S.renderer.build_table(
+                *(x.astype(dt) for x in S.generate_planes(p, w))
+            )
+        )
+
+        def _pose1(p, quad, c):
+            return S.renderer.render_coarse(
+                p["renderer"], None, None, c[:, :16].reshape(-1, 4, 4), rp, quad=quad
+            )
+
+        def _pose2(p, st, ws):
+            rout = S.renderer.render_fine(p["renderer"], st, rp)
+            n_vb = len(S.voxel_block_resolutions)
+            img_raw = S._raw_rgb()(
+                p["raw_rgb"], rout["feature"].astype(dt), ws[:, n_vb + 1]
+            ).astype(jnp.float32)
+            img = S.superresolve(p, rout["feature"], img_raw, ws)
+            return img, S._upsample_seg(rout["seg"])
+
+        p1, p2 = jax.jit(_pose1), jax.jit(_pose2)
+        self._pose_frame = lambda p, quad, ws, c: p2(p, p1(p, quad, c), ws)
+        # the cached-quad path assumes the dedicated raw head and no per-latent
+        # voxel volume; other configs fall back to the fused render
+        self._can_cache_quad = (
+            self.G.cfg.raw_head == "torgb" and not self.G.cfg.use_feature_volume
+        )
+        self._quad_cache_w = None
+        self._quad_cache = None
+
         # on-device uint8 conversion: host pulls are the interactive bottleneck
         # on remote-host links (see apps/viz_renderer.py / PERF.md)
         self._img_u8 = jax.jit(
@@ -126,9 +162,19 @@ class PainterSession:
         return render.make_label_25(c2w)
 
     def view(self, yaw: float = 0.0, pitch: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
-        """Free-view render of the current latent (no mask edit)."""
+        """Free-view render of the current latent (no mask edit). Pose-only
+        moves reuse the cached plane/quad table of the current latent."""
         assert self.w is not None, "call set_seed or set_inversion first"
-        img, seg = self._render(self.g_params, self.w, self.camera(yaw, pitch))
+        c = self.camera(yaw, pitch)
+        if self._can_cache_quad:
+            if self._quad_cache_w is not self.w:
+                self._quad_cache = self._plane_quad_fn(self.g_params["synthesis"], self.w)
+                self._quad_cache_w = self.w
+            img, seg = self._pose_frame(
+                self.g_params["synthesis"], self._quad_cache, self.w, c
+            )
+        else:
+            img, seg = self._render(self.g_params, self.w, c)
         return (np.asarray(self._img_u8(img[0])),
                 np.asarray(self._seg_u8(seg))[0])
 

@@ -553,3 +553,27 @@ def test_generator_pose_conditioning_swap():
         _, stats = step(state, batch, jax.random.PRNGKey(1), 0.0)
         outs[prob] = float(stats["loss_g"])
     assert abs(outs[0.0] - outs[1.0]) > 1e-7
+
+
+def test_painter_view_cached_quad_matches_fused():
+    """PainterSession.view's cached-quad pose path must equal the fused render."""
+    from ide3d_tpu.apps.painter import PainterSession
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=gcfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=gcfg.w_dim)
+    e_params = E.init(jax.random.PRNGKey(1))
+    s = PainterSession(G=G, E=E, g_params=g_params, e_params=e_params)
+    s.set_seed(3)
+    assert s._can_cache_quad
+    img_fast, seg_fast = s.view(0.2, -0.1)
+    # fused reference
+    img_ref, seg_ref = s._render(g_params, s.w, s.camera(0.2, -0.1))
+    img_ref = np.asarray(s._img_u8(img_ref[0]))
+    seg_ref = np.asarray(s._seg_u8(seg_ref))[0]
+    # identical up to the uint8 rounding of numerically-equal floats
+    assert np.abs(img_fast.astype(int) - img_ref.astype(int)).max() <= 1
+    assert np.abs(seg_fast.astype(int) - seg_ref.astype(int)).max() <= 1
