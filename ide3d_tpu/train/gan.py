@@ -101,15 +101,6 @@ def init_gan_state(
     )
 
 
-def _d_input(tcfg: GanTrainConfig, img, img_raw, seg):
-    R = img.shape[1]
-    raw_up = jax.image.resize(img_raw, (img.shape[0], R, R, img_raw.shape[-1]), "bilinear")
-    parts = [img, raw_up]
-    if tcfg.use_seg_d:
-        parts.append(seg)
-    return jnp.concatenate(parts, axis=-1)
-
-
 def pose_swap(c: Optional[jax.Array], key: jax.Array, prob: float) -> Optional[jax.Array]:
     """EG3D generator-pose conditioning: per-sample, with probability `prob`,
     replace the MAPPING-conditioning camera with another sample's camera (a roll
