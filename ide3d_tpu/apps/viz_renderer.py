@@ -105,58 +105,60 @@ class VizRenderer:
         jnp, R = self._jnp, self._R
         S, G = self.G.synthesis, self.G
         ws = self._make_ws(st)
-        caps = {}
 
-        def grab(name, x):
-            arr = np.asarray(x[0], np.float32)
-            if arr.ndim == 3:
-                pre = arr[..., :3] if arr.shape[-1] >= 3 else np.repeat(arr[..., :1], 3, -1)
-                lo, hi = pre.min(), pre.max()
-                pre = (pre - lo) / max(hi - lo, 1e-8)
-                preview = np.rint(pre * 255).clip(0, 255).astype(np.uint8)
-            else:
-                preview = None
-            caps[name] = {
-                "shape": tuple(arr.shape), "mean": float(arr.mean()),
-                "std": float(arr.std()),
-                **({"preview": preview} if preview is not None else {}),
-            }
-
-        p = self.params["synthesis"]
-        x = img_v = seg_v = None
+        rp = self._RenderParams(img_size=self.G.cfg.render_size,
+                                num_steps=st.num_steps, hierarchical=True, fov=st.fov)
+        dt = jnp.dtype(G.cfg.dtype)
         n_vb = len(S.voxel_block_resolutions)
-        for i, res in enumerate(S.voxel_block_resolutions):
-            ws2 = jnp.stack([ws[:, i], ws[:, n_vb]], axis=1)
-            x, img_v, seg_v = S._vb_block(i, res)(
-                p[f"vb{res}"], x, img_v, ws2, condition_img=seg_v
-            )
-            grab(f"vb{res}.x", x)
-            grab(f"vb{res}.img_v", img_v)
-            grab(f"vb{res}.seg_v", seg_v)
+
+        # ONE jitted program produces every tap (eager per-op dispatch is
+        # seconds/op over a tunneled TPU; see CLAUDE.md)
+        def taps_fn(p, ws, c):
+            taps = {}
+            x = img_v = seg_v = None
+            for i, res in enumerate(S.voxel_block_resolutions):
+                ws2 = jnp.stack([ws[:, i], ws[:, n_vb]], axis=1)
+                x, img_v, seg_v = S._vb_block(i, res)(
+                    p[f"vb{res}"], x, img_v, ws2, condition_img=seg_v
+                )
+                taps[f"vb{res}.x"] = x
+                taps[f"vb{res}.img_v"] = img_v
+                taps[f"vb{res}.seg_v"] = seg_v
+            rout = S.renderer.render(p["renderer"], img_v.astype(dt),
+                                     seg_v.astype(dt), c[:, :16].reshape(-1, 4, 4), rp)
+            taps["renderer.feature"] = rout["feature"]
+            taps["renderer.seg"] = rout["seg"]
+            taps["renderer.depth"] = rout["depth"]
+            img_raw = S._raw_rgb()(p["raw_rgb"], rout["feature"].astype(dt),
+                                   ws[:, n_vb + 1]).astype(jnp.float32)
+            taps["raw_rgb"] = img_raw
+            xs, img = rout["feature"], img_raw
+            base = n_vb + 2
+            for i, res in enumerate(S.block_resolutions):
+                r0 = base + 2 * i
+                ws3 = jnp.stack([ws[:, r0], ws[:, r0 + 1],
+                                 ws[:, min(r0 + 2, S.num_ws - 1)]], axis=1)
+                xs, img = S._sr_block(i, res)(p[f"b{res}"], xs, img, ws3)
+                taps[f"b{res}.x"] = xs
+                taps[f"b{res}.img"] = img
+            return taps
 
         c2w = R.look_at_pose(st.yaw + math.pi / 2, st.pitch + math.pi / 2,
                              [0.0, 0.0, 0.0], radius=2.7)
         c = R.make_label_25(c2w)
-        rp = self._RenderParams(img_size=self.G.cfg.render_size,
-                                num_steps=st.num_steps, hierarchical=True, fov=st.fov)
-        dt = jnp.dtype(G.cfg.dtype)
-        rout = S.renderer.render(p["renderer"], img_v.astype(dt), seg_v.astype(dt),
-                                 c[:, :16].reshape(-1, 4, 4), rp)
-        grab("renderer.feature", rout["feature"])
-        grab("renderer.seg", rout["seg"])
-        grab("renderer.depth", rout["depth"])
-        img_raw = S._raw_rgb()(p["raw_rgb"], rout["feature"].astype(dt),
-                               ws[:, n_vb + 1]).astype(jnp.float32)
-        grab("raw_rgb", img_raw)
-        xs, img = rout["feature"], img_raw
-        base = n_vb + 2
-        for i, res in enumerate(S.block_resolutions):
-            r0 = base + 2 * i
-            ws3 = jnp.stack([ws[:, r0], ws[:, r0 + 1],
-                             ws[:, min(r0 + 2, S.num_ws - 1)]], axis=1)
-            xs, img = S._sr_block(i, res)(p[f"b{res}"], xs, img, ws3)
-            grab(f"b{res}.x", xs)
-            grab(f"b{res}.img", img)
+        taps = jax.jit(taps_fn)(self.params["synthesis"], ws, c)
+
+        caps = {}
+        for name, x in taps.items():
+            arr = np.asarray(x[0], np.float32)
+            entry = {"shape": tuple(arr.shape), "mean": float(arr.mean()),
+                     "std": float(arr.std())}
+            if arr.ndim == 3:
+                pre = arr[..., :3] if arr.shape[-1] >= 3 else np.repeat(arr[..., :1], 3, -1)
+                lo, hi = pre.min(), pre.max()
+                pre = (pre - lo) / max(hi - lo, 1e-8)
+                entry["preview"] = np.rint(pre * 255).clip(0, 255).astype(np.uint8)
+            caps[name] = entry
         return caps
 
     # ------------------------------------------------------------------ latents
