@@ -11,8 +11,8 @@ vs_baseline is measured fps / 30 (the driver north star: >=30 fps/chip at 512^2,
 BASELINE.md).
 
 `--metric edit_loop` instead measures the Painter interactive edit step — TWO full
-G passes + one HybridEncoder pass in a single jitted program (the product latency
-contract, Painter/run_UI.py:167-206) — and reports milliseconds per edit.
+G passes + one HybridEncoder pass as a chain of jitted programs (the product
+latency contract, Painter/run_UI.py:167-206) — and reports milliseconds per edit.
 """
 
 import argparse
@@ -140,8 +140,8 @@ def _rtt_baseline():
 
 
 def bench_edit_loop(G, params, args):
-    """Painter edit-step latency: one jitted program = G render (current
-    appearance) -> HybridEncoder re-encode of the edited mask -> G re-render
+    """Painter edit-step latency: G render (current appearance) -> HybridEncoder
+    re-encode of the edited mask -> G re-render, as a chain of jitted programs
     (apps/painter.py make_edit_step; contract Painter/run_UI.py:167-206)."""
     from ide3d_tpu import render
     from ide3d_tpu.apps.painter import make_edit_step
