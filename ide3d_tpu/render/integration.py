@@ -82,6 +82,84 @@ def integrate_rays(
     return out, depth, weights
 
 
+def integrate_rays_merged(
+    feats_sigma: jax.Array,  # [B, R, S, C+1]; last channel = raw sigma; ANY z order
+    rays_d_cam: jax.Array,  # [B, R, 3]
+    z_vals: jax.Array,  # [B, R, S, 1] — NOT necessarily sorted
+    noise_key: Optional[jax.Array] = None,
+    noise_std: float = 0.0,
+    last_back: bool = False,
+    white_back: bool = False,
+    clamp_mode: str = "softplus",
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort-FREE alpha compositing over unsorted samples (numerically equal to
+    sort + `integrate_rays`; tie order = index order, like _sort_by_depth).
+
+    TPU rationale: physically sorting the merged coarse+fine samples applies a
+    [B,R,S,S] one-hot permutation to all C+1 channels (~31 GFLOP and a ~300 MB
+    one-hot at the 96+96 budget). But compositing only needs, per sample,
+    (a) the distance to the NEXT sample in depth order and (b) the product of
+    (1 - alpha) over all CLOSER samples — both order-free reductions over the
+    same z-comparison matrix, applied to SCALARS:
+        delta_i = min_{j after i} z_j - z_i          (masked min)
+        T_i     = exp(sum_{j before i} log(1-a_j))   (masked matmul, 1 channel)
+        out     = sum_i a_i T_i c_i                  (order-independent)
+    ~50x fewer FLOPs than the permutation einsum, no big one-hot, no gather.
+
+    Returns (features [B,R,C], depth [B,R,1], weights [B,R,S,1]) with weights in
+    the INPUT sample order.
+    """
+    feats = feats_sigma[..., :-1].astype(jnp.float32)
+    sigmas = feats_sigma[..., -1:].astype(jnp.float32)
+    z = z_vals[..., 0].astype(jnp.float32)  # [B,R,S]
+    S = z.shape[-1]
+
+    zi = z[..., :, None]  # row i
+    zj = z[..., None, :]  # col j
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    # depth order with index tie-break (identical to _sort_by_depth)
+    after = (zj > zi) | ((zj == zi) & (j_idx > i_idx))  # j comes after i
+    before = (zj < zi) | ((zj == zi) & (j_idx < i_idx))  # j comes before i
+
+    # delta_i = z of the nearest later sample - z_i; no later sample -> 1e10
+    # (matches integrate_rays' infinite last delta: alpha saturates identically)
+    big = jnp.float32(1e10)
+    next_z = jnp.min(jnp.where(after, zj, big), axis=-1)  # [B,R,S]
+    deltas = jnp.where(next_z >= big, big, next_z - z)
+    ray_norm = jnp.linalg.norm(rays_d_cam.astype(jnp.float32), axis=-1)
+    deltas = deltas * ray_norm[..., None]
+
+    if noise_key is not None and noise_std > 0:
+        sigmas = sigmas + jax.random.normal(noise_key, sigmas.shape) * noise_std
+
+    if clamp_mode == "softplus":
+        density = jax.nn.softplus(sigmas[..., 0])
+    elif clamp_mode == "relu":
+        density = jax.nn.relu(sigmas[..., 0])
+    else:
+        raise ValueError("clamp_mode must be 'softplus' or 'relu'")
+
+    alphas = 1.0 - jnp.exp(-deltas * density)  # [B,R,S]
+    log1m = jnp.log(1.0 - alphas + 1e-10)
+    # transmittance before each sample: masked matmul over the scalar channel
+    logT = jnp.einsum("brj,brij->bri", log1m, before.astype(jnp.float32))
+    weights = alphas * jnp.exp(logT)  # [B,R,S]
+    weights_sum = weights.sum(axis=-1, keepdims=True)  # [B,R,1]
+
+    if last_back:
+        is_last = (~after).all(axis=-1).astype(jnp.float32)  # depth-order last
+        weights = weights + (1.0 - weights_sum) * is_last
+
+    out = jnp.einsum("brs,brsc->brc", weights, feats)
+    depth = jnp.sum(weights * z, axis=-1, keepdims=True)
+
+    if white_back:
+        out = out + (1.0 - weights_sum)
+
+    return out, depth, weights[..., None]
+
+
 def sample_pdf(
     key: Optional[jax.Array],
     bins: jax.Array,  # [R, S+1] bin edges

@@ -20,8 +20,10 @@ TPU design:
     render resolution (the reference chunks with max_batch only for the 512^3 sigma
     grid; we expose `sample_voxel` for that use case and `lax.map` chunking in
     apps/extract_shapes),
-  * everything is static-shape; hierarchical sampling doubles the sample axis
-    statically (S -> 2S) and sorts with a single argsort+gather.
+  * everything is static-shape; hierarchical sampling extends the sample axis
+    statically (S -> S+F) and composites the merged samples SORT-FREE
+    (integration.integrate_rays_merged: order-free masked-matmul transmittance
+    instead of a physical permutation).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ import jax.numpy as jnp
 from ..ops.bias_act import bias_act
 from ..ops.grid_sample import sample_from_triplane
 from .camera import get_initial_rays, perturb_z_vals, transform_rays_to_world
-from .integration import integrate_rays, sample_pdf
+from .integration import integrate_rays, integrate_rays_merged, sample_pdf
 
 
 def _sort_by_depth(z: jax.Array, vals: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -278,20 +280,31 @@ class TriplaneRenderer:
 
             all_z = jnp.concatenate([z_vals, fine_z], axis=-2)  # [B,R,S+F,1]
             all_out = jnp.concatenate([coarse, fine], axis=-2)
-            all_z, all_out = _sort_by_depth(all_z, all_out)
+            # SORT-FREE compositing of the merged (unsorted) samples — replaces
+            # the one-hot permutation einsum over all channels with scalar
+            # masked-matmul reductions (integration.integrate_rays_merged;
+            # numerically equal to sort + integrate, pinned by tests).
+            comp, depth, weights = integrate_rays_merged(
+                all_out,
+                rays_d_cam,
+                all_z,
+                noise_key=k_noise,
+                noise_std=rp.nerf_noise,
+                clamp_mode=rp.clamp_mode,
+                last_back=rp.last_back,
+                white_back=rp.white_back,
+            )
         else:
-            all_z, all_out = z_vals, coarse
-
-        comp, depth, weights = integrate_rays(
-            all_out,
-            rays_d_cam,
-            all_z,
-            noise_key=k_noise,
-            noise_std=rp.nerf_noise,
-            clamp_mode=rp.clamp_mode,
-            last_back=rp.last_back,
-            white_back=rp.white_back,
-        )
+            comp, depth, weights = integrate_rays(
+                coarse,
+                rays_d_cam,
+                z_vals,
+                noise_key=k_noise,
+                noise_std=rp.nerf_noise,
+                clamp_mode=rp.clamp_mode,
+                last_back=rp.last_back,
+                white_back=rp.white_back,
+            )
 
         fc = self.feature_channels
         return {

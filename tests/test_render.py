@@ -253,3 +253,40 @@ def test_fine_steps_budget_reallocation():
     out_b = R.render(params, img_v, seg_v, c2w, rp_b)
     np.testing.assert_allclose(np.asarray(out_a["feature"]),
                                np.asarray(out_b["feature"]), atol=1e-6)
+
+
+def test_integrate_rays_merged_equals_sort_then_integrate():
+    """Sort-free compositing (integrate_rays_merged) must equal the sorted
+    cumprod path on the same unsorted samples — incl. ties, last_back,
+    white_back, both clamp modes."""
+    import jax
+
+    from ide3d_tpu.render.integration import integrate_rays, integrate_rays_merged
+    from ide3d_tpu.render.renderer import _sort_by_depth
+
+    rng = np.random.RandomState(0)
+    B, R, S, C = 2, 7, 12, 5
+    feats = rng.randn(B, R, S, C + 1).astype(np.float32)
+    rays_d = rng.randn(B, R, 3).astype(np.float32)
+    z = rng.rand(B, R, S, 1).astype(np.float32) * 2 + 2.0
+    # inject exact ties to exercise the index tie-break
+    z[:, :, 3] = z[:, :, 7]
+
+    for kwargs in (
+        dict(),
+        dict(last_back=True),
+        dict(white_back=True),
+        dict(clamp_mode="relu"),
+    ):
+        zs, fs = _sort_by_depth(jnp.asarray(z), jnp.asarray(feats))
+        out_s, depth_s, w_s = integrate_rays(fs, jnp.asarray(rays_d), zs, **kwargs)
+        out_m, depth_m, w_m = integrate_rays_merged(
+            jnp.asarray(feats), jnp.asarray(rays_d), jnp.asarray(z), **kwargs
+        )
+        np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                                   atol=2e-5, rtol=2e-5, err_msg=str(kwargs))
+        np.testing.assert_allclose(np.asarray(depth_m), np.asarray(depth_s),
+                                   atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(
+            float(jnp.sum(w_m)), float(jnp.sum(w_s)), rtol=2e-5
+        )
