@@ -141,7 +141,14 @@ def integrate_rays_merged(
         raise ValueError("clamp_mode must be 'softplus' or 'relu'")
 
     alphas = 1.0 - jnp.exp(-deltas * density)  # [B,R,S]
-    log1m = jnp.log(1.0 - alphas + 1e-10)
+    # log(1 - alpha) ANALYTICALLY = -deltas*density, floored at log(1e-10) to
+    # mirror the sorted path's +1e-10 guard. Do NOT write
+    # jnp.log(1.0 - alphas + 1e-10): XLA reassociates the fused
+    # log(exp(-x) + eps) into x-shifted forms containing exp(+x), which
+    # overflows at the 1e10 last-delta sentinel and turns the whole frame NaN
+    # under jit (eager stays finite — the same failure class PERF.md documents
+    # for `1-α+ε` inside the Pallas kernel).
+    log1m = jnp.maximum(-deltas * density, jnp.float32(-23.025850929940457))
     # transmittance before each sample: masked matmul over the scalar channel
     logT = jnp.einsum("brj,brij->bri", log1m, before.astype(jnp.float32))
     weights = alphas * jnp.exp(logT)  # [B,R,S]

@@ -373,10 +373,28 @@ def test_two_phase_frame_matches_fused(tiny_G):
     img_1, seg_1 = jax.jit(
         lambda p, w, cc: G.synthesis(p, w, cc, return_seg=True)
     )(params["synthesis"], ws, c)
+    # guard against NaN==NaN silently passing assert_allclose (equal_nan=True):
+    # a jit-only XLA-rewrite NaN in the compositing slipped through exactly here.
+    assert np.isfinite(np.asarray(img_1)).all() and np.isfinite(np.asarray(seg_1)).all()
     frame = make_two_phase_frame(G.synthesis, G.cfg.render, return_seg=True)
     img_2, seg_2 = frame(params["synthesis"], ws, c)
     np.testing.assert_allclose(np.asarray(img_2), np.asarray(img_1), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(seg_2), np.asarray(seg_1), atol=1e-5, rtol=1e-5)
+
+
+def test_jitted_synthesis_matches_eager(tiny_G):
+    """jit(synthesis) must be finite AND match the eager forward: XLA rewrites
+    can introduce NaNs that eager never produces (the log(1-α+ε) reassociation
+    fixed in render/integration.integrate_rays_merged), and the golden test runs
+    eagerly so it cannot catch them."""
+    G, params = tiny_G
+    z = jax.random.normal(jax.random.PRNGKey(11), (2, G.cfg.z_dim))
+    c = canonical_c(2)
+    ws = G.mapping(params["mapping"], z, c)
+    eager = G.synthesis(params["synthesis"], ws, c)
+    jitted = jax.jit(lambda p, w, cc: G.synthesis(p, w, cc))(params["synthesis"], ws, c)
+    assert np.isfinite(np.asarray(jitted)).all()
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-4, rtol=1e-4)
 
 
 def test_two_phase_frame_hybrid(tiny_G):
@@ -390,6 +408,7 @@ def test_two_phase_frame_hybrid(tiny_G):
     c = canonical_c(1)
     ws = G.mapping(params["mapping"], z, c)
     img_1 = jax.jit(lambda p, w, cc: G.synthesis(p, w, cc))(params["synthesis"], ws, c)
+    assert np.isfinite(np.asarray(img_1)).all()
     frame = make_two_phase_frame(G.synthesis, cfg.render, return_seg=False)
     img_2 = frame(params["synthesis"], ws, c)
     np.testing.assert_allclose(np.asarray(img_2), np.asarray(img_1), atol=1e-5, rtol=1e-5)

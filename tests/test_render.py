@@ -290,3 +290,16 @@ def test_integrate_rays_merged_equals_sort_then_integrate():
         np.testing.assert_allclose(
             float(jnp.sum(w_m)), float(jnp.sum(w_s)), rtol=2e-5
         )
+
+    # jit must equal eager and stay finite: XLA's reassociation of the fused
+    # log(exp(-x)+ε) overflowed at the 1e10 last-delta sentinel before the
+    # analytic log(1-α) fix — eager never showed it.
+    out_j, depth_j, w_j = jax.jit(integrate_rays_merged)(
+        jnp.asarray(feats), jnp.asarray(rays_d), jnp.asarray(z)
+    )
+    out_e, depth_e, w_e = integrate_rays_merged(
+        jnp.asarray(feats), jnp.asarray(rays_d), jnp.asarray(z)
+    )
+    assert np.isfinite(np.asarray(out_j)).all()
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_e), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(w_j), np.asarray(w_e), atol=2e-5, rtol=2e-5)
