@@ -108,7 +108,10 @@ class LevelsMapper:
         return p
 
     def _run(self, params, x):
-        x = normalize_2nd_moment(x)
+        # StyleCLIP's PixelNorm normalizes dim=1 (model.py:15-16) — for the
+        # mapper's [B, n_rows, 512] input that is the ROW axis, not channels.
+        # Kept verbatim for pretrained-mapper parity.
+        x = normalize_2nd_moment(x, axis=1)
         for j, fc in enumerate(self._mlp()):
             x = fc(params[f"fc{j}"], x)
         return x
@@ -123,3 +126,65 @@ class LevelsMapper:
 
     def edit(self, params: dict, ws: jax.Array, strength: float = 0.1) -> jax.Array:
         return ws + strength * self(params, ws)
+
+
+# The 14 named attribute edits the reference ships pretrained mappers for
+# (inversion/scripts/pti_styleclip.py:7-23): edit name -> (mapper checkpoint id,
+# no_coarse, no_medium, no_fine).
+STYLECLIP_EDITS = {
+    "afro": ("afro", False, False, True),
+    "angry": ("angry", False, False, True),
+    "Beyonce": ("beyonce", False, False, False),
+    "bobcut": ("bobcut", False, False, True),
+    "bowlcut": ("bowlcut", False, False, True),
+    "curly hair": ("curly_hair", False, False, True),
+    "Hilary Clinton": ("hilary_clinton", False, False, False),
+    "Jhonny Depp": ("depp", False, False, False),
+    "mohawk": ("mohawk", False, False, True),
+    "purple hair": ("purple_hair", False, False, False),
+    "surprised": ("surprised", False, False, True),
+    "Taylor Swift": ("taylor_swift", False, False, False),
+    "trump": ("trump", False, False, False),
+    "Mark Zuckerberg": ("zuckerberg", False, False, False),
+}
+
+
+def levels_mapper_for_edit(edit_name: str, num_ws: int = 18) -> LevelsMapper:
+    """LevelsMapper configured like pti_styleclip.py does for a named edit."""
+    _, no_coarse, no_medium, no_fine = STYLECLIP_EDITS[edit_name]
+    return LevelsMapper(num_ws=num_ws, use_coarse=not no_coarse,
+                        use_medium=not no_medium, use_fine=not no_fine)
+
+
+def import_levels_mapper(sd: dict, num_ws: int = 18):
+    """Pretrained StyleCLIP mapper checkpoint -> (LevelsMapper, params).
+
+    Torch layout (StyleCLIP latent_mappers.py: Mapper = PixelNorm +
+    4 × EqualLinear(512, 512, lr_mul=0.01, 'fused_lrelu')): keys
+    `[mapper.]{course,medium,fine}_mapping.mapping.{1..4}.{weight,bias}`.
+    EqualLinear's stored-unit-variance weight/lr_mul bias scheme is identical
+    to FullyConnectedLayer's equalized-lr scheme, so tensors map 1:1 with a
+    [out,in]->[in,out] transpose.
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in sd.items() if hasattr(v, "shape")}
+    if any(k.startswith("mapper.") for k in sd):
+        sd = {k[len("mapper."):]: v for k, v in sd.items() if k.startswith("mapper.")}
+    groups = sorted({k.split("_mapping.")[0] for k in sd})
+    params = {}
+    for g in groups:
+        params[g] = {
+            f"fc{i - 1}": {
+                "weight": jnp.asarray(sd[f"{g}_mapping.mapping.{i}.weight"].T),
+                "bias": jnp.asarray(sd[f"{g}_mapping.mapping.{i}.bias"]),
+            }
+            for i in range(1, 5)
+        }
+    mapper = LevelsMapper(
+        num_ws=num_ws,
+        use_coarse="course" in params,
+        use_medium="medium" in params,
+        use_fine="fine" in params,
+    )
+    return mapper, params
