@@ -186,11 +186,13 @@ class ImportReport:
     imported: int = 0
     skipped_source: tuple = ()   # state-dict names with no destination
     missing_dest: tuple = ()     # framework leaves left at their init values
+    auto_mapped: tuple = ()      # "src -> dest [xS]" shape-signature matches
 
     def __str__(self):
         return (
             f"imported {self.imported} tensors; "
             f"{len(self.skipped_source)} source tensors unmapped; "
+            f"{len(self.auto_mapped)} shape-auto-mapped; "
             f"{len(self.missing_dest)} destination leaves left initialized"
         )
 
@@ -310,12 +312,58 @@ def _leaf_paths(tree, prefix=()):
             yield prefix + (k,)
 
 
+def _auto_map_renderer(sd, candidates, params, imported):
+    """Shape-signature matching of UNNAMED source tensors onto the framework
+    renderer-decoder leaves (the pickled renderer's naming is not recoverable
+    from the reference tree, but its tensor shapes are distinctive).
+
+    Only UNAMBIGUOUS matches are applied: a (converted) source shape that occurs
+    exactly once among the candidates AND exactly once among the unfilled
+    renderer leaves. Equalized-lr heuristic: the framework decoder applies
+    1/sqrt(fan_in) at call time (StyleGAN convention); if a matched 2-D weight
+    looks like a plain trained nn.Linear (std << 1), it is rescaled by
+    sqrt(fan_in) so the effective matmul weight is preserved. Returns the list
+    of applied "src -> dest [xS]" records."""
+    dest = {p: np.asarray(_get_leaf(params, p))
+            for p in _leaf_paths(params) if p[:2] == ("synthesis", "renderer")}
+    by_shape_dest: Dict[tuple, list] = {}
+    for p, leaf in dest.items():
+        by_shape_dest.setdefault(tuple(leaf.shape), []).append(p)
+    by_shape_src: Dict[tuple, list] = {}
+    for name in candidates:
+        conv = _convert_leaf(name, sd[name])
+        by_shape_src.setdefault(tuple(conv.shape), []).append(name)
+    applied = []
+    for shape, srcs in by_shape_src.items():
+        dsts = by_shape_dest.get(shape, [])
+        if len(srcs) == 1 and len(dsts) == 1:
+            name, p = srcs[0], dsts[0]
+            arr = _convert_leaf(name, sd[name]).astype(np.float32)
+            scale = 1.0
+            if arr.ndim == 2 and float(np.std(arr)) < 0.25:
+                # plain-Linear semantics: fold the missing equalized-lr gain in
+                scale = float(np.sqrt(arr.shape[0]))
+            _set_leaf(params, p, arr * scale)
+            imported.append(name)
+            applied.append(f"{name} -> {'.'.join(p)}"
+                           + (f" [x{scale:.3g}]" if scale != 1.0 else ""))
+    return applied
+
+
+def _get_leaf(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
 def import_generator(
     sd: Dict[str, np.ndarray],
     render_size: int = 64,
     num_steps: int = 96,
     dtype: str = "bfloat16",
     extra_map: Optional[Dict[str, tuple]] = None,
+    auto_map_renderer: bool = True,
 ):
     """Reference generator state dict -> (Ide3dGenerator, params, ImportReport).
 
@@ -323,8 +371,10 @@ def import_generator(
     depth, latent counts), then hosted by GeneratorConfig(vb_ref_compat=True):
     the reference two-conv vb interior (inversion/networks.py:1008-1043) and
     reference w-row slicing. The volume renderer's decoder MLP is framework-owned
-    (the pickled renderer's naming is not recoverable from the reference tree) and
-    stays at its initialization — listed in the report's missing_dest.
+    (the pickled renderer's naming is not recoverable from the reference tree);
+    with auto_map_renderer=True, leftover source tensors whose SHAPES match a
+    decoder leaf unambiguously are recovered anyway (report.auto_mapped), and
+    only genuinely ambiguous leaves stay initialized (report.missing_dest).
     """
     import jax
 
@@ -404,19 +454,29 @@ def import_generator(
 
     # anything else under synthesis.* (renderer internals etc.)
     handled = set(imported) | set(skipped)
-    for name in sd:
-        if name not in handled and not name.endswith(_SKIP_SUFFIXES):
-            skipped.append(name)
+    leftovers = [name for name in sd
+                 if name not in handled and not name.endswith(_SKIP_SUFFIXES)]
 
+    # the pickled renderer-decoder's names are unknown — recover what the
+    # shapes pin down unambiguously (report records every applied match)
+    auto_mapped: list = []
+    if auto_map_renderer and leftovers:
+        auto_mapped = _auto_map_renderer(sd, leftovers, params, imported)
+        handled = set(imported)
+        leftovers = [n for n in leftovers if n not in handled]
+    skipped.extend(leftovers)
+
+    auto_dest = {rec.split(" -> ")[1].split(" ")[0] for rec in auto_mapped}
     missing = tuple(
         ".".join(p)
         for p in _leaf_paths(params)
-        if p[:2] == ("synthesis", "renderer")
+        if p[:2] == ("synthesis", "renderer") and ".".join(p) not in auto_dest
     )
     report = ImportReport(
         imported=len(imported),
         skipped_source=tuple(sorted(skipped)),
         missing_dest=missing,
+        auto_mapped=tuple(auto_mapped),
     )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     return G, params, report

@@ -369,6 +369,49 @@ def test_full_synthesis_runs(imported_g):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_renderer_decoder_auto_map(tiny_g):
+    """The pickled renderer-decoder's names are unknown, but its tensor shapes
+    pin it down: unambiguous shape matches must be recovered (with the
+    equalized-lr rescale for plain-Linear-looking weights) and reported."""
+    sd = {k: v.numpy() for k, v in tiny_g.state_dict().items()}
+    rs = np.random.RandomState(0)
+    dec = {
+        "synthesis.renderer.net.0.weight": (rs.randn(64, FCH) * 0.05).astype(np.float32),
+        "synthesis.renderer.net.0.bias": rs.randn(64).astype(np.float32),
+        "synthesis.renderer.net.2.weight": (rs.randn(FCH + 1, 64) * 0.05).astype(np.float32),
+        "synthesis.renderer.net.2.bias": rs.randn(FCH + 1).astype(np.float32),
+    }
+    sd.update(dec)
+    G, params, report = import_generator(sd, render_size=8, num_steps=4, dtype="float32")
+    assert len(report.auto_mapped) == 4, report.auto_mapped
+    assert report.missing_dest == ()
+    assert not any("renderer" in s for s in report.skipped_source)
+    r = params["synthesis"]["renderer"]
+    np.testing.assert_allclose(
+        np.asarray(r["dec_w1"]),
+        dec["synthesis.renderer.net.0.weight"].T * np.sqrt(FCH), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r["dec_b1"]),
+                               dec["synthesis.renderer.net.0.bias"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r["dec_w2"]),
+        dec["synthesis.renderer.net.2.weight"].T * np.sqrt(64), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r["dec_b2"]),
+                               dec["synthesis.renderer.net.2.bias"], rtol=1e-6)
+
+
+def test_renderer_auto_map_ambiguity_safe(tiny_g):
+    """Two same-shaped unmapped candidates -> NEITHER is applied; the leaf
+    stays initialized and both names stay in skipped_source."""
+    sd = {k: v.numpy() for k, v in tiny_g.state_dict().items()}
+    rs = np.random.RandomState(1)
+    sd["synthesis.renderer.a"] = rs.randn(64).astype(np.float32)
+    sd["synthesis.renderer.b"] = rs.randn(64).astype(np.float32)
+    G, params, report = import_generator(sd, render_size=8, num_steps=4, dtype="float32")
+    assert "synthesis.renderer.dec_b1" in report.missing_dest
+    assert "synthesis.renderer.a" in report.skipped_source
+    assert "synthesis.renderer.b" in report.skipped_source
+
+
 # ------------------------------------------------------------- discriminator side
 
 
