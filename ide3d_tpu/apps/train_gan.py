@@ -35,8 +35,9 @@ def main(argv=None):
                     help="StyleGAN2 path-length regularization weight (0 = off)")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--preset", choices=["full", "tiny"], default="full",
-                    help="tiny = smoke-test scale (CI / CPU)")
+    ap.add_argument("--preset", choices=["full", "small", "tiny"], default="full",
+                    help="tiny = smoke-test scale (CI / CPU); small = 64px "
+                         "single-chip validation scale (synthetic-data runs)")
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     args = ap.parse_args(argv)
 
@@ -70,6 +71,15 @@ def main(argv=None):
             channel_base=512, channel_max=32, sr_channel_base=256, sr_channel_max=16,
             feature_channels=8, dtype="float32",
             render=RenderParams(img_size=8, num_steps=4),
+        )
+    elif args.preset == "small":
+        from ..render.renderer import RenderParams
+
+        gcfg = GeneratorConfig(
+            img_resolution=args.resolution, render_size=16, plane_resolution=64,
+            channel_base=8192, channel_max=128, sr_channel_base=4096,
+            sr_channel_max=64, feature_channels=16, dtype="float32",
+            render=RenderParams(img_size=16, num_steps=12),
         )
     else:
         gcfg = GeneratorConfig(img_resolution=args.resolution)
