@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--fine-steps", type=int, default=None,
                     help="importance samples (None = num_steps; static-budget "
                          "reallocation lever, PERF.md)")
-    ap.add_argument("--metric", choices=["fps", "edit_loop"], default="fps")
+    ap.add_argument("--metric", choices=["fps", "edit_loop", "pose_only"],
+                    default="fps")
     args = ap.parse_args()
 
     from ide3d_tpu.models import GeneratorConfig, Ide3dGenerator
@@ -50,6 +51,8 @@ def main():
 
     if args.metric == "edit_loop":
         return bench_edit_loop(G, params, args)
+    if args.metric == "pose_only":
+        return bench_pose_only(G, params, args, rp)
 
     # The shipped latency path: the frame as TWO chained XLA programs
     # (models/generator.make_two_phase_frame; ~10% faster than the fused
@@ -139,6 +142,76 @@ def _rtt_baseline():
     return sorted(rtts)[len(rtts) // 2]
 
 
+def bench_pose_only(G, params, args, rp):
+    """Fixed-identity free-view fps: planes + quad table cached per latent
+    (the visualizer's backbone-cache trick, viz/renderer.py:373-377 /
+    apps/viz_renderer.py + painter pose fast path) — pose-slider moves skip
+    plane generation and table building entirely."""
+    from ide3d_tpu import render
+
+    S = G.synthesis
+    dt = jnp.dtype(G.cfg.dtype)
+    syn = params["synthesis"]
+
+    quad = jax.jit(
+        lambda p, w: S.renderer.build_table(
+            *(x.astype(dt) for x in S.generate_planes(p, w))
+        )
+    )
+
+    def _pose1(p, quad, c):
+        return S.renderer.render_coarse(
+            p["renderer"], None, None, c[:, :16].reshape(-1, 4, 4), rp, quad=quad)
+
+    def _pose2(p, st, ws):
+        rout = S.renderer.render_fine(p["renderer"], st, rp)
+        n_vb = len(S.voxel_block_resolutions)
+        img_raw = S._raw_rgb()(
+            p["raw_rgb"], rout["feature"].astype(dt), ws[:, n_vb + 1]
+        ).astype(jnp.float32)
+        img = S.superresolve(p, rout["feature"], img_raw, ws)
+        return img, S._upsample_seg(rout["seg"])
+
+    p1, p2 = jax.jit(_pose1), jax.jit(_pose2)
+
+    @jax.jit
+    def _checksum(img, seg):
+        return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, G.cfg.z_dim))
+    c0 = jnp.asarray(render.CANONICAL_POSE_25)[None]
+    ws = G.mapping(params["mapping"], z, c0)
+    table = quad(syn, ws)
+
+    import math
+
+    cams = [render.make_label_25(render.look_at_pose(
+        math.pi / 2 + 0.5 * math.sin(2 * math.pi * i / 24), math.pi / 2,
+        [0.0, 0.0, 0.0], radius=2.7)) for i in range(args.iters + args.warmup)]
+
+    def frame(i):
+        img, seg = p2(syn, p1(syn, table, cams[i]), ws)
+        float(_checksum(img, seg))
+
+    for i in range(args.warmup):
+        frame(i)
+    rtt = _rtt_baseline()
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        frame(args.warmup + i)
+        times.append(time.perf_counter() - t0)
+    median = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+    result = {
+        "metric": "pose_only_512_rgb_seg_fps",
+        "value": round(1.0 / median, 3),
+        "unit": "fps",
+        "vs_baseline": round(1.0 / median / 30.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
 def bench_edit_loop(G, params, args):
     """Painter edit-step latency: G render (current appearance) -> HybridEncoder
     re-encode of the edited mask -> G re-render, as a chain of jitted programs
@@ -149,8 +222,11 @@ def bench_edit_loop(G, params, args):
 
     R = G.cfg.img_resolution
     n_geo = G.synthesis.num_ws_geo
+    # encoder convs in the generator's compute dtype (bf16 in production):
+    # the edit loop is encoder-bound (PERF.md), and the 512² conv pyramid is
+    # MXU-rate-limited; projections still return fp32 ws (encoder.py contract)
     E = HybridEncoder(size=R, n_latents_app=G.num_ws - n_geo, n_latents_geo=n_geo,
-                      w_dim=G.cfg.w_dim)
+                      w_dim=G.cfg.w_dim, dtype=G.cfg.dtype)
     e_params = jax.jit(E.init)(jax.random.PRNGKey(1))
     edit_step = make_edit_step(G, E)
 

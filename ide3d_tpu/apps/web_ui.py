@@ -310,6 +310,7 @@ def build_session(network: str, encoder: str = None, tiny: bool = False):
         size=G.cfg.img_resolution, n_latents_app=G.num_ws - n_geo,
         n_latents_geo=n_geo, w_dim=G.cfg.w_dim,
         input_seg_dim=G.cfg.seg_channels,
+        dtype=G.cfg.dtype,  # interactive path: bf16 convs (edit loop is E-bound)
     )
     if encoder:
         from ..io.checkpoint import load_checkpoint
