@@ -120,6 +120,54 @@ def make_styleclip_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def optimize_latent(
+    G, g_params: dict, clip_model: CLIP, clip_params: dict, tokens: jax.Array,
+    latent_init: jax.Array,  # [1, num_ws, w_dim]
+    steps: int = 300, lr: float = 0.1, l2_lambda: float = 0.008,
+    mode: str = "edit", c: Optional[jax.Array] = None, log_every: int = 50,
+):
+    """StyleCLIP's latent-OPTIMIZATION mode (run_optimization.py:25-90):
+    Adam directly on w+ with L = CLIPLoss(G(w), text) [+ l2_lambda*||w - w0||²
+    in 'edit' mode], under the cosine lr ramp (get_lr :17-22). Returns the
+    optimized latent."""
+    c = (jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (1, 25))
+         if c is None else c)
+    w0 = jax.lax.stop_gradient(latent_init)
+
+    def loss_fn(w):
+        img = G.synthesis(g_params["synthesis"], w, c)
+        l = jnp.mean(clip_similarity_loss(clip_model, clip_params, img, tokens))
+        if mode == "edit":
+            l = l + l2_lambda * jnp.sum((w - w0) ** 2)
+        return l
+
+    opt = optax.adam(1.0)  # lr folded into the schedule scale below
+    state = opt.init(latent_init)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def apply(w, state, g, lr_t):
+        updates, state = opt.update(g, state, w)
+        # per-step lr ramp: scale the unit-lr Adam update (torch sets
+        # param_groups lr each step; this is the functional equivalent)
+        return optax.apply_updates(
+            w, jax.tree_util.tree_map(lambda u: u * lr_t, updates)), state
+
+    import math as _math
+
+    w = latent_init
+    for i in range(steps):
+        t = i / steps
+        ramp = min(1.0, (1.0 - t) / 0.25)
+        ramp = 0.5 - 0.5 * _math.cos(ramp * _math.pi)
+        lr_t = lr * ramp * min(1.0, t / 0.05)
+        loss, g = grad_fn(w)
+        w, state = apply(w, state, g, lr_t)
+        if log_every and i % log_every == 0:
+            print(f"step {i}: loss {float(loss):.4f} lr {lr_t:.4f}")
+    return w
+
+
 def train_styleclip_mapper(
     G, g_params: dict, clip_model: CLIP, clip_params: dict, tokenizer,
     cfg: StyleClipConfig = StyleClipConfig(), mapper: Optional[LevelsMapper] = None,

@@ -146,3 +146,34 @@ def test_styleclip_training_step():
                         jax.tree_util.tree_leaves(state.mapper_params))
     )
     assert moved > 0
+
+
+def test_styleclip_latent_optimization():
+    """run_optimization.py mode: Adam directly on w+ under the cosine lr ramp;
+    'edit' mode anchors to the init latent via the L2 term."""
+    from ide3d_tpu.models.clip import CLIP, ClipConfig, SimpleTokenizer
+    from ide3d_tpu.models.generator import Ide3dGenerator
+    from ide3d_tpu.train.styleclip import optimize_latent, sample_latents
+    from test_train import tiny_gcfg
+
+    G = Ide3dGenerator(tiny_gcfg())
+    g_params = G.init(jax.random.PRNGKey(0))
+    cfg = ClipConfig(embed_dim=16, image_resolution=32, vision_layers=1,
+                     vision_width=32, vision_patch_size=8, context_length=12,
+                     vocab_size=520, transformer_width=32, transformer_layers=1,
+                     head_dim=16)
+    clip_model = CLIP(cfg=cfg)
+    clip_params = clip_model.init(jax.random.PRNGKey(1))
+    tok = SimpleTokenizer(merges=[("l", "o")])
+    tokens = jnp.asarray(tok.tokenize(["lo"], context_length=12))
+
+    w0 = sample_latents(G, g_params, 1, jax.random.PRNGKey(2))
+    w_edit = optimize_latent(G, g_params, clip_model, clip_params, tokens, w0,
+                             steps=6, lr=0.05, l2_lambda=1.0, log_every=0)
+    assert w_edit.shape == w0.shape
+    assert bool(jnp.isfinite(w_edit).all())
+    assert float(jnp.abs(w_edit - w0).max()) > 0
+    # strong L2 anchor keeps the edit close; free mode drifts farther
+    w_free = optimize_latent(G, g_params, clip_model, clip_params, tokens, w0,
+                             steps=6, lr=0.05, mode="free", log_every=0)
+    assert float(jnp.sum((w_edit - w0) ** 2)) <= float(jnp.sum((w_free - w0) ** 2)) + 1e-4
