@@ -204,13 +204,21 @@ class TriplaneRenderer:
         volume: Optional[jax.Array] = None,
         quad: Optional[jax.Array] = None,  # prebuilt table (build_table), cached
         # per identity by interactive callers (apps/viz_renderer.py)
+        ray_slice: Optional[Tuple[jax.Array, int]] = None,
     ) -> dict:
         """Phase 1: quad table + coarse pass (+ importance z when hierarchical).
 
         Returns the intermediate state consumed by `render_fine`. Splitting the
         frame at this boundary into TWO XLA programs measured ~10% faster than
         one fused program on v5e (PERF.md round 2) — `render` composes both for
-        the single-program path used in training."""
+        the single-program path used in training.
+
+        `ray_slice=(start, length)` restricts the pass to a contiguous block of
+        `length` rays beginning at (possibly traced) index `start` — the
+        multi-chip ray-sharding hook (parallel/render.py): each device renders
+        its block of the pixel grid and the feature image is all-gathered before
+        superres. Per-ray work is independent, so sliced outputs equal the same
+        rows of the full render. Pair with `render_fine(..., flat=True)`."""
         B = cam2world.shape[0]
         S = rp.num_steps
         W = H = rp.img_size
@@ -227,6 +235,12 @@ class TriplaneRenderer:
             points_cam, z_vals = perturb_z_vals(k_perturb, points_cam, z_vals, rays_d_cam)
 
         pts, dirs, origins = transform_rays_to_world(points_cam, rays_d_cam, cam2world)
+
+        if ray_slice is not None:
+            start, Rr = ray_slice
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, Rr, axis=1)
+            pts, dirs, origins = sl(pts), sl(dirs), sl(origins)
+            z_vals, rays_d_cam = sl(z_vals), sl(rays_d_cam)
 
         if quad is None:
             quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
@@ -259,9 +273,13 @@ class TriplaneRenderer:
             st["fine_z"] = jax.lax.stop_gradient(fine_z).reshape(B, Rr, F, 1)
         return st
 
-    def render_fine(self, params: dict, st: dict, rp: RenderParams) -> dict:
+    def render_fine(
+        self, params: dict, st: dict, rp: RenderParams, flat: bool = False
+    ) -> dict:
         """Phase 2: fine pass + depth sort + compositing. Consumes render_coarse
-        output; returns the `render` result dict."""
+        output; returns the `render` result dict. `flat=True` keeps the ray axis
+        unreshaped ([B, Rr, C] instead of [B, H, W, C]) — required when the
+        coarse pass rendered a `ray_slice` block (parallel/render.py)."""
         coarse, z_vals = st["coarse"], st["z_vals"]
         rays_d_cam = st["rays_d_cam"]
         B, Rr, S, _ = coarse.shape
@@ -307,6 +325,14 @@ class TriplaneRenderer:
             )
 
         fc = self.feature_channels
+        if flat:
+            return {
+                "feature": comp[..., :fc],
+                "seg": comp[..., fc:],
+                "depth": depth,
+                "weights_sum": weights.sum(axis=-2),
+            }
+        assert Rr == H * W, "sliced coarse state requires flat=True"
         return {
             "feature": comp[..., :fc].reshape(B, H, W, fc),
             "seg": comp[..., fc:].reshape(B, H, W, self.seg_channels),
