@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--fine-steps", type=int, default=None,
                     help="importance samples (None = num_steps; static-budget "
                          "reallocation lever, PERF.md)")
-    ap.add_argument("--metric", choices=["fps", "edit_loop", "pose_only"],
+    ap.add_argument("--metric",
+                    choices=["fps", "edit_loop", "edit_stroke", "pose_only"],
                     default="fps")
     args = ap.parse_args()
 
@@ -51,6 +52,8 @@ def main():
 
     if args.metric == "edit_loop":
         return bench_edit_loop(G, params, args)
+    if args.metric == "edit_stroke":
+        return bench_edit_loop(G, params, args, stroke=True)
     if args.metric == "pose_only":
         return bench_pose_only(G, params, args, rp)
 
@@ -212,10 +215,16 @@ def bench_pose_only(G, params, args, rp):
     return 0
 
 
-def bench_edit_loop(G, params, args):
+def bench_edit_loop(G, params, args, stroke=False):
     """Painter edit-step latency: G render (current appearance) -> HybridEncoder
     re-encode of the edited mask -> G re-render, as a chain of jitted programs
-    (apps/painter.py make_edit_step; contract Painter/run_UI.py:167-206)."""
+    (apps/painter.py make_edit_step; contract Painter/run_UI.py:167-206).
+
+    stroke=True measures the steady-state BRUSH-STROKE path instead: consecutive
+    edits at a fixed view reuse the previous edit's output frame as the first G
+    pass (PainterSession frame cache) — 1×G + E per stroke vs the reference's
+    2×G + E (run_UI.py:193 recomputes the current-appearance render every
+    stroke)."""
     from ide3d_tpu import render
     from ide3d_tpu.apps.painter import make_edit_step
     from ide3d_tpu.models.encoder import HybridEncoder
@@ -245,22 +254,33 @@ def bench_edit_loop(G, params, args):
         cams.append(render.make_label_25(render.look_at_pose(yaw, math.pi / 2,
                                                              [0.0, 0.0, 0.0], radius=2.7)))
 
-    def run(i, w):
-        img, seg, rec_ws = edit_step(params, e_params, seg_pm, w, cams[i])
-        float(jnp.sum(img.astype(jnp.float32)))  # true device sync
-        return rec_ws
+    if stroke:
+        # fixed view, frame carried across strokes (the PainterSession cache)
+        c_fix = cams[0]
 
+        def run(i, w, prev_img):
+            img, seg, rec_ws = edit_step.from_render(
+                params, e_params, prev_img, seg_pm, w, c_fix)
+            float(jnp.sum(img.astype(jnp.float32)))  # true device sync
+            return rec_ws, img
+    else:
+        def run(i, w, prev_img):
+            img, seg, rec_ws = edit_step(params, e_params, seg_pm, w, cams[i])
+            float(jnp.sum(img.astype(jnp.float32)))  # true device sync
+            return rec_ws, img
+
+    prev = jnp.zeros((1, R, R, 3), jnp.float32)
     for i in range(args.warmup):
-        w = run(i, w)
+        w, prev = run(i, w, prev)
     rtt = _rtt_baseline()
     times = []
     for i in range(args.iters):
         t0 = time.perf_counter()
-        w = run(args.warmup + i, w)
+        w, prev = run(args.warmup + i, w, prev)
         times.append(time.perf_counter() - t0)
     median_ms = max((sorted(times)[len(times) // 2] - rtt) * 1000.0, 1e-3)
     result = {
-        "metric": "painter_edit_loop_ms",
+        "metric": "painter_edit_stroke_ms" if stroke else "painter_edit_loop_ms",
         "value": round(median_ms, 3),
         "unit": "ms",
         # north star: real-time interaction; 33.3 ms (30 edits/s) as the bar

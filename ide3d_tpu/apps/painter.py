@@ -59,12 +59,21 @@ def make_edit_step(G: Ide3dGenerator, E: HybridEncoder, lock_appearance: bool = 
             rec_ws = jnp.concatenate([rec_ws[:, :n_geo], w_prev[:, n_geo:]], axis=1)
         return rec_ws
 
-    def edit_step(g_params, e_params, seg_pm, w_prev, c):
-        gen_img = frame_noseg(g_params["synthesis"], w_prev, c)
+    def edit_from_render(g_params, e_params, gen_img, seg_pm, w_prev, c):
+        """Steady-state brush-stroke path: the 'current appearance' render of
+        (w_prev, c) is exactly the frame the PREVIOUS edit (or view) returned,
+        so when the session still holds it the first G pass is free — the edit
+        costs 1×G + E instead of the reference's 2×G + E (run_UI.py:193
+        recomputes it every stroke)."""
         rec_ws = encode(g_params, e_params, gen_img, seg_pm, w_prev)
         img, seg = frame_seg(g_params["synthesis"], rec_ws, c)
         return img, seg, rec_ws
 
+    def edit_step(g_params, e_params, seg_pm, w_prev, c):
+        gen_img = frame_noseg(g_params["synthesis"], w_prev, c)
+        return edit_from_render(g_params, e_params, gen_img, seg_pm, w_prev, c)
+
+    edit_step.from_render = edit_from_render
     return edit_step
 
 
@@ -128,6 +137,12 @@ class PainterSession:
         self._quad_cache_w = None
         self._quad_cache = None
 
+        # Frame cache: the last on-device render of (self.w, c). The next edit's
+        # first G pass re-renders exactly that frame (run_UI.py:193), so holding
+        # it makes steady-state brush strokes 1×G + E instead of 2×G + E
+        # (numerically identical — pinned by tests/test_apps.py).
+        self._frame_cache = None  # (w object, c ndarray, img device array)
+
         # on-device uint8 conversion: host pulls are the interactive bottleneck
         # on remote-host links (see apps/viz_renderer.py / PERF.md)
         self._img_u8 = jax.jit(
@@ -175,6 +190,7 @@ class PainterSession:
             )
         else:
             img, seg = self._render(self.g_params, self.w, c)
+        self._frame_cache = (self.w, np.asarray(c), img)
         return (np.asarray(self._img_u8(img[0])),
                 np.asarray(self._seg_u8(seg))[0])
 
@@ -189,7 +205,15 @@ class PainterSession:
         seg_pm = (mask2onehot(jnp.asarray(mask)[None]) * 2.0 - 1.0)
         c = self.camera(yaw, pitch)
         step = self._edit_step if self.inversion else self._edit_step_free
-        img, seg, rec_ws = step(self.g_params, self.e_params, seg_pm, self.w, c)
+        fc = self._frame_cache
+        if fc is not None and fc[0] is self.w and np.array_equal(fc[1], np.asarray(c)):
+            # steady-state stroke at an unchanged view: the first G pass is the
+            # frame we already rendered
+            img, seg, rec_ws = step.from_render(
+                self.g_params, self.e_params, fc[2], seg_pm, self.w, c
+            )
+        else:
+            img, seg, rec_ws = step(self.g_params, self.e_params, seg_pm, self.w, c)
         if self.record:
             import time as _time
 
@@ -198,6 +222,7 @@ class PainterSession:
                  "t": _time.time()}
             )
         self.w = rec_ws
+        self._frame_cache = (rec_ws, np.asarray(c), img)
         return (np.asarray(self._img_u8(img[0])),
                 np.asarray(self._seg_u8(seg))[0])
 

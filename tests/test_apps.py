@@ -105,6 +105,51 @@ def test_dataset_tool_roundtrip(tmp_path):
     assert label.shape == (25,)
 
 
+def test_dataset_tool_mirror(tmp_path):
+    """--mirror materializes x-flipped copies with flip_yaw'd labels and
+    left/right-swapped mask classes (mirror_dataset parity)."""
+    from ide3d_tpu.apps.dataset_tool import main as dtool
+    from ide3d_tpu.data import ImageFolderDataset
+
+    src, msk = tmp_path / "src", tmp_path / "msk"
+    src.mkdir()
+    msk.mkdir()
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    PIL.Image.fromarray(img).save(src / "a.png")
+    mask = np.zeros((32, 32), np.uint8)
+    mask[:, :8] = 4   # l_eye on the left
+    mask[:, -8:] = 8  # l_ear on the right
+    PIL.Image.fromarray(mask).save(msk / "a.png")
+    pose = list(np.eye(4).reshape(-1)) + [4.2647, 0, 0.5, 0, 4.2647, 0.5, 0, 0, 1]
+    pose[3] = 0.7  # nonzero x translation so flip_yaw is visible
+    with open(src / "dataset.json", "w") as f:
+        json.dump({"labels": [["a.png", pose]]}, f)
+
+    dest = str(tmp_path / "data.zip")
+    dtool(["--source", str(src), "--dest", dest, "--resolution", "32",
+           "--masks", str(msk), "--mirror"])
+    ds = ImageFolderDataset(dest, resolution=32,
+                            seg_path=dest.replace(".zip", "_seg.zip"))
+    assert len(ds) == 2
+    i0, i1 = ds[0][0], ds[1][0]
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0)[:, ::-1])
+    # labels: loader flips OpenCV->OpenGL on BOTH; the mirrored one differs by
+    # the xflip relabel signs (flat idx 1,2,3,4,8)
+    l0, l1 = np.asarray(ds[0][-1]), np.asarray(ds[1][-1])
+    expect = l0.copy()
+    expect[[1, 2, 3, 4, 8]] *= -1
+    np.testing.assert_allclose(l1, expect, atol=1e-6)
+    # masks: flipped spatially AND l_eye(4)<->r_eye(5), l_ear(8)<->r_ear(9)
+    import zipfile as _zf
+
+    with _zf.ZipFile(dest.replace(".zip", "_seg.zip")) as z:
+        m1 = np.asarray(PIL.Image.open(
+            __import__("io").BytesIO(z.read("img00000001.png"))))
+    assert (m1[:, :8] == 9).all()   # mirrored l_ear -> r_ear, now on the left
+    assert (m1[:, -8:] == 5).all()  # mirrored l_eye -> r_eye, now on the right
+
+
 def test_spectra_math(rng):
     from ide3d_tpu.apps.avg_spectra import azimuthal_average, power_spectrum
 
@@ -155,6 +200,37 @@ def test_painter_record_and_replay(tiny, tmp_path):
     frames = list(sess2.replay_log(log))
     assert len(frames) == 2
     assert frames[0][0].shape == (R, R, 3)
+
+
+def test_painter_frame_cache_stroke_equals_full_edit(tiny):
+    """Steady-state strokes reuse the previous frame as the first G pass
+    (painter.py edit_from_render); the result must equal the uncached edit."""
+    import jax
+    from ide3d_tpu.apps.painter import PainterSession
+    from ide3d_tpu.models.encoder import HybridEncoder
+
+    G, params = tiny
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=G.cfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=G.cfg.w_dim)
+    e_params = E.init(jax.random.PRNGKey(1))
+    R = G.cfg.img_resolution
+    mask1 = np.zeros((R, R), np.uint8)
+    mask2 = mask1.copy()
+    mask2[4:12, 4:12] = 13
+
+    def run(use_cache):
+        sess = PainterSession(G=G, E=E, g_params=params, e_params=e_params)
+        sess.set_seed(3)
+        sess.edit(mask1, yaw=0.15)  # populates the frame cache
+        if not use_cache:
+            sess._frame_cache = None
+        return sess.edit(mask2, yaw=0.15)  # same view -> cached first pass
+
+    img_c, seg_c = run(True)
+    img_u, seg_u = run(False)
+    np.testing.assert_allclose(img_c.astype(np.int32), img_u.astype(np.int32), atol=1)
+    np.testing.assert_allclose(seg_c.astype(np.int32), seg_u.astype(np.int32), atol=1)
 
 
 def test_mask_canvas_tools():
