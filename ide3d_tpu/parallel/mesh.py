@@ -25,27 +25,43 @@ def create_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
     devices: Optional[Sequence[jax.Device]] = None,
+    shape: Optional[Sequence[int]] = None,
 ) -> Mesh:
-    """1-D data-parallel mesh by default; pass axis_names=('slice','data') with a 2-D
-    device array for multi-slice."""
+    """1-D data-parallel mesh by default. Multi-slice DCN scale-out: pass
+    axis_names=('slice','data') with `shape=(n_slices, chips_per_slice)` — the
+    OUTER axis should be the slower (DCN) interconnect so per-slice collectives
+    ride ICI (scaling-book layout convention). Training steps shard the batch
+    over ALL mesh axes (batch_sharding), so call sites are unchanged."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     arr = np.array(devices)
     if len(axis_names) > 1:
-        raise NotImplementedError("multi-axis meshes: reshape devices explicitly")
+        assert shape is not None and len(shape) == len(axis_names), (
+            "multi-axis mesh needs an explicit shape per axis"
+        )
+        arr = arr.reshape(tuple(shape))
     return Mesh(arr, axis_names)
 
 
-def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 over the data axis, replicate the rest."""
+def dp_spec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec sharding dim 0 over EVERY mesh axis (pure DP on 1-D and
+    multi-slice meshes alike)."""
     spec = [None] * ndim
-    spec[0] = axis
+    spec[0] = tuple(mesh.axis_names)
+    return P(*spec)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: Optional[str] = None) -> NamedSharding:
+    """Shard dim 0, replicate the rest. Default: over all mesh axes (DP batch);
+    pass a single axis name to shard over just that axis."""
+    spec = [None] * ndim
+    spec[0] = axis if axis is not None else tuple(mesh.axis_names)
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+def shard_batch(mesh: Mesh, tree, axis: Optional[str] = None):
     """Place a host pytree so dim 0 is split across the mesh."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim, axis)), tree
@@ -58,7 +74,8 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def local_batch_size(global_batch: int, mesh: Mesh, axis: str = "data") -> int:
-    n = mesh.shape[axis]
+def local_batch_size(global_batch: int, mesh: Mesh, axis: Optional[str] = None) -> int:
+    """Per-device batch under DP. Default: batch sharded over all mesh axes."""
+    n = mesh.shape[axis] if axis is not None else mesh.devices.size
     assert global_batch % n == 0, f"batch {global_batch} not divisible by mesh axis {n}"
     return global_batch // n

@@ -347,7 +347,10 @@ def make_gan_train_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    # batch dim sharded over EVERY mesh axis: identical on the 1-D 'data'
+    # mesh, and on a ('slice', 'data') multi-slice mesh the grad all-reduce
+    # decomposes into ICI + DCN stages (parallel/mesh.py dp_spec)
+    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return jax.jit(
         step,
         in_shardings=(repl, data, repl, repl),

@@ -125,6 +125,42 @@ def test_gan_train_step_sharded_matches_single_device(devices):
     )
 
 
+def test_gan_train_step_multislice_mesh_matches_single_device(devices):
+    """Multi-slice DCN scale-out: the same DP step over a 2-D ('slice','data')
+    mesh — batch sharded across BOTH axes (parallel/mesh.py dp_spec) — must also
+    equal the single-device step. Call sites are unchanged; only the mesh shape
+    differs."""
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    batch = make_batch(8, 32)
+    rng = jax.random.PRNGKey(1)
+
+    state_1 = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    step_1 = make_gan_train_step(G, D, tcfg)
+    _, stats_1 = step_1(state_1, batch, rng, 0.5)
+
+    mesh = create_mesh(8, axis_names=("slice", "data"), shape=(2, 4))
+    assert dict(mesh.shape) == {"slice": 2, "data": 4}
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    state_m = replicate(mesh, init_gan_state(jax.random.PRNGKey(0), G, D, tcfg))
+    step_m = make_gan_train_step(G, D, tcfg, mesh=mesh)
+    _, stats_m = step_m(
+        state_m, shard_batch(mesh, batch), jax.device_put(rng, repl),
+        jax.device_put(jnp.asarray(0.5, jnp.float32), repl),
+    )
+    for k in stats_1:
+        np.testing.assert_allclose(
+            np.asarray(stats_m[k]), np.asarray(stats_1[k]), atol=1e-4, rtol=1e-4,
+            err_msg=f"stat {k} diverges on the 2-D mesh",
+        )
+
+
 def _get(tree, path):
     for p in path:
         tree = tree[p]
