@@ -104,7 +104,15 @@ def main(argv=None):
     loader = infinite_loader(dataset, args.batch, seed=args.seed)
 
     if args.resume:
-        params, meta = load_checkpoint(args.resume)
+        # restore INTO a freshly-initialized state: orbax needs the template to
+        # rebuild the optax NamedTuple structure (io/checkpoint.py)
+        tmpl = init_gan_state(jax.random.PRNGKey(args.seed), G, D, tcfg)
+        params, meta = load_checkpoint(
+            args.resume,
+            template={"G": tmpl.params_g, "D": tmpl.params_d,
+                      "G_ema": tmpl.params_g_ema, "opt_g": tmpl.opt_g,
+                      "opt_d": tmpl.opt_d, "pl_mean": tmpl.pl_mean},
+        )
         state = GanTrainState(
             step=jnp.asarray(meta.get("step", 0), jnp.int32),
             params_g=params["G"], params_d=params["D"],

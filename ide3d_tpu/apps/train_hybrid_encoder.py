@@ -100,7 +100,12 @@ def main(argv=None):
         n_dev -= 1
     mesh = create_mesh(n_dev)
     if args.resume:
-        params, meta = load_checkpoint(args.resume)
+        # restore INTO a freshly-initialized state: orbax needs the template to
+        # rebuild the optax NamedTuple structure (io/checkpoint.py)
+        tmpl = init_encoder_state(jax.random.PRNGKey(args.seed), E, tcfg)
+        params, meta = load_checkpoint(
+            args.resume, template={"E": tmpl.params_e, "opt_e": tmpl.opt_e}
+        )
         state = EncoderTrainState(
             step=jnp.asarray(meta.get("step", 0), jnp.int32),
             params_e=params["E"], opt_e=params["opt_e"],

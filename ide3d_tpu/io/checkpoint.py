@@ -83,13 +83,23 @@ def save_checkpoint(path: str, params, config: Any = None, step: Optional[int] =
         json.dump(meta, f, indent=2, default=str)
 
 
-def load_checkpoint(path: str):
-    """Returns (params, meta_dict)."""
+def load_checkpoint(path: str, template=None):
+    """Returns (params, meta_dict).
+
+    `template`: a pytree with the EXACT structure the checkpoint was saved with
+    (same dict keys, NamedTuple/tuple types). Required when the tree contains
+    non-dict nodes — orbax restores optax optimizer states (NamedTuples) as
+    plain dicts/lists otherwise, which breaks `opt.update` on resume
+    (apps/train_gan.py / train_hybrid_encoder.py pass their freshly-initialized
+    state as the template)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    params = ckptr.restore(os.path.join(path, "params"))
+    if template is not None:
+        params = ckptr.restore(os.path.join(path, "params"), item=template)
+    else:
+        params = ckptr.restore(os.path.join(path, "params"))
     meta = {}
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):

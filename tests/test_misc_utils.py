@@ -72,6 +72,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 7
 
 
+def test_checkpoint_resume_restores_optimizer_structure(tmp_path):
+    """Training resume regression: optax states are NamedTuples; a raw orbax
+    restore flattens them to dicts and `opt.update` then crashes with
+    `'dict' object has no attribute 'mu'`. load_checkpoint(template=...)
+    must rebuild the exact structure (the train CLIs pass a fresh init state)."""
+    import optax
+
+    params = {"w": jnp.ones((2, 3))}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    save_checkpoint(str(tmp_path / "ck"), {"E": params, "opt_e": opt_state}, step=3)
+
+    tmpl = {"E": params, "opt_e": opt.init(params)}
+    restored, meta = load_checkpoint(str(tmp_path / "ck"), template=tmpl)
+    assert meta["step"] == 3
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, restored["opt_e"], params)  # crashes pre-fix
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
 def test_npz_roundtrip(tmp_path):
     tree = {"ws": np.random.randn(1, 18, 8).astype(np.float32), "meta": {"x": np.arange(3)}}
     save_pytree_npz(str(tmp_path / "t.npz"), tree)
