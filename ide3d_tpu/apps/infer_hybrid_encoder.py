@@ -83,7 +83,10 @@ def main(argv=None):
         ids = id_remap(jnp.argmax(bis(bp, img), axis=-1))
         seg = mask2onehot(ids) * 2.0 - 1.0
 
-    rec_ws = E(e_params, img, seg) + g_params["mapping"]["w_avg"][None, None, :]
+    # jit the encode: eager dispatch is seconds/op on tunneled hosts (CLAUDE.md)
+    rec_ws = jax.jit(
+        lambda ep, gp, i, s: E(ep, i, s) + gp["mapping"]["w_avg"][None, None, :]
+    )(e_params, g_params, img, seg)
     if args.appearance_code:
         from ..io.checkpoint import load_pytree_npz
 

@@ -77,7 +77,10 @@ def main(argv=None):
                 from .infer_hybrid_encoder import load_mask
 
                 seg = mask2onehot(jnp.asarray(load_mask(mp, R))[None]) * 2 - 1
-                initial_w = E(e_params, target, seg) + g_params["mapping"]["w_avg"][None, None]
+                initial_w = jax.jit(
+                    lambda ep, gp, t, s: E(ep, t, s)
+                    + gp["mapping"]["w_avg"][None, None]
+                )(e_params, g_params, target, seg)
         ws = project_w_plus(G, g_params, target, c,
                             ProjectorConfig(num_steps=args.steps),
                             initial_w=initial_w, key=jax.random.PRNGKey(i))

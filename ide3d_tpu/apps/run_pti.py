@@ -105,7 +105,10 @@ def main(argv=None):
             mask_path = os.path.join(args.masks, os.path.basename(f))
             if os.path.exists(mask_path):
                 seg = mask2onehot(jnp.asarray(load_mask(mask_path, R))[None]) * 2 - 1
-                initial_w = E(e_params, target, seg) + g_params["mapping"]["w_avg"][None, None]
+                initial_w = jax.jit(
+                    lambda ep, gp, t, s: E(ep, t, s)
+                    + gp["mapping"]["w_avg"][None, None]
+                )(e_params, g_params, target, seg)
 
         print(f"[{fi+1}/{len(files)}] projecting {name} ...")
         w_pivot = project_w_plus(G, tuned, target, c, pcfg, initial_w=initial_w,
