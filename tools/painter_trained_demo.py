@@ -37,6 +37,13 @@ def main(argv=None):
     ap.add_argument("--data", required=True, help="synthetic dataset root (img/ seg/)")
     ap.add_argument("--item", default="00000_2")
     ap.add_argument("--hair-dilate", type=int, default=5)
+    ap.add_argument("--pivot", default=None,
+                    help="npz ws from run_pti: use the PTI pivot latent (with a "
+                         "tuned --network) instead of the encoder inversion — "
+                         "the full reference workflow encoder->projector->PTI->"
+                         "Painter (single_id_coach + run_UI)")
+    ap.add_argument("--prefix", default="painter_trained",
+                    help="output file prefix")
     ap.add_argument("--outdir", required=True)
     args = ap.parse_args(argv)
 
@@ -74,11 +81,17 @@ def main(argv=None):
     c_own = jnp.asarray(c_own)[None]
     c_front = jnp.asarray(render.CANONICAL_POSE_25)[None]
 
-    # 1) invert (jitted: eager dispatch is seconds/op on tunneled hosts)
+    # 1) invert (jitted: eager dispatch is seconds/op on tunneled hosts), or
+    # load a PTI pivot (run_pti output) when --pivot is given
     seg_pm = mask2onehot(jnp.asarray(mask)[None]) * 2.0 - 1.0
-    rec_ws = jax.jit(
-        lambda ep, gp, i, s: E(ep, i, s) + gp["mapping"]["w_avg"][None, None, :]
-    )(e_params, g_params, jnp.asarray(img)[None], seg_pm)
+    if args.pivot:
+        from ide3d_tpu.io.checkpoint import load_pytree_npz
+
+        rec_ws = jnp.asarray(load_pytree_npz(args.pivot)["ws"])
+    else:
+        rec_ws = jax.jit(
+            lambda ep, gp, i, s: E(ep, i, s) + gp["mapping"]["w_avg"][None, None, :]
+        )(e_params, g_params, jnp.asarray(img)[None], seg_pm)
 
     synth = jax.jit(lambda p, w, c: G.synthesis(p["synthesis"], w, c, return_seg=True))
     recon_own, _ = synth(g_params, rec_ws, c_own)
@@ -86,7 +99,7 @@ def main(argv=None):
 
     os.makedirs(args.outdir, exist_ok=True)
     grid = np.stack([img, np.asarray(recon_own[0]), np.asarray(recon_front[0])])
-    save_image_grid(grid, os.path.join(args.outdir, "painter_trained_recon.png"),
+    save_image_grid(grid, os.path.join(args.outdir, args.prefix + "_recon.png"),
                     grid=(3, 1))
 
     # 2) mask edit: dilate the hair class (17) downward over skin
@@ -107,14 +120,14 @@ def main(argv=None):
         rgb, _ = sess.view(yaw=yaw)
         sweep.append(rgb.astype(np.float32) / 127.5 - 1.0)
     grid = np.stack([before] + sweep)
-    save_image_grid(grid, os.path.join(args.outdir, "painter_trained_edit.png"),
+    save_image_grid(grid, os.path.join(args.outdir, args.prefix + "_edit.png"),
                     grid=(4, 1))
 
     # colorized edited mask for the writeup
     mc = np.asarray(mask2color(mask2onehot(jnp.asarray(edited)[None]) * 2.0 - 1.0))[0]
     PIL.Image.fromarray(mc.astype(np.uint8)).save(
-        os.path.join(args.outdir, "painter_trained_edit_mask.png"))
-    print(f"wrote {args.outdir}/painter_trained_recon.png, painter_trained_edit.png")
+        os.path.join(args.outdir, args.prefix + "_edit_mask.png"))
+    print(f"wrote {args.outdir}/{args.prefix}_recon.png, {args.prefix}_edit.png")
 
 
 if __name__ == "__main__":
