@@ -4,3 +4,4 @@ from .blocks import SynthesisBlock, SegSynthesisBlock
 from .generator import Ide3dSynthesisNetwork, Ide3dGenerator, GeneratorConfig
 from .discriminator import Discriminator, DiscriminatorConfig
 from .encoder import Encoder, HybridEncoder, MultiViewHybridEncoder
+from .resnet_encoder import ResNetEncoder

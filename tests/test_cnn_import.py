@@ -244,3 +244,51 @@ def test_bisenet_import_and_stem_parity():
     seg = net(params, jnp.zeros((1, 64, 64, 3)))
     assert seg.shape[0] == 1 and seg.shape[-1] == net.n_classes
     assert np.isfinite(np.asarray(seg)).all()
+
+
+# ------------------------------------------------------------ ResNetEncoder
+
+
+def test_resnet_encoder_import_and_block_parity(tmp_path):
+    """networks.py:1779 ResNetEncoder: torchvision-resnet18 trunk + global pool.
+
+    Parity target: the layer2.0 BasicBlock (stride-2 + 1x1 downsample branch),
+    the configuration the bisenet stem test does not cover."""
+    from ide3d_tpu.models.resnet_encoder import ResNetEncoder, import_resnet_encoder
+
+    net = ResNetEncoder()
+    tree0 = net.init(jax.random.PRNGKey(0))
+    sd, want = make_torch_sd(tree0, seed=11)
+    params = assert_roundtrip(tree0, sd, want)
+
+    # torch-side BasicBlock with downsample (torchvision resnet.py semantics)
+    from ide3d_tpu.models.bisenet import _basic_block
+
+    x = np.random.RandomState(12).randn(1, 16, 16, 64).astype(np.float32)
+    got = _basic_block(jnp.asarray(x), params["layer2"]["0"], 2)
+    xt = nchw(x)
+    p = "layer2.0"
+    out = F.conv2d(xt, torch.from_numpy(sd[f"{p}.conv1.weight"]), stride=2, padding=1)
+    out = F.relu(t_bn(out, sub(sd, f"{p}.bn1")))
+    out = F.conv2d(out, torch.from_numpy(sd[f"{p}.conv2.weight"]), padding=1)
+    out = t_bn(out, sub(sd, f"{p}.bn2"))
+    idn = F.conv2d(xt, torch.from_numpy(sd[f"{p}.downsample.0.weight"]), stride=2)
+    idn = t_bn(idn, sub(sd, f"{p}.downsample.1"))
+    wt = F.relu(out + idn)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(wt), atol=1e-4, rtol=1e-4)
+
+    # file import drops the classifier head
+    sd_file = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    sd_file["fc.weight"] = torch.zeros(1000, 512)
+    sd_file["fc.bias"] = torch.zeros(1000)
+    pth = tmp_path / "resnet18.pth"
+    torch.save(sd_file, str(pth))
+    imported = import_resnet_encoder(str(pth))
+    assert "fc" not in imported
+    np.testing.assert_allclose(
+        np.asarray(imported["conv1"]["weight"]), want["conv1.weight"], rtol=0, atol=0
+    )
+
+    # full forward: resize -> trunk -> pooled [B, 512]
+    emb = jax.jit(net.__call__)(params, jnp.zeros((2, 96, 96, 3)))
+    assert emb.shape == (2, 512) and np.isfinite(np.asarray(emb)).all()
