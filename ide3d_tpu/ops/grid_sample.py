@@ -211,6 +211,14 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
     rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(3, B, N, C4)
     rows = rows * inside[..., None].astype(quad.dtype)
 
+    # Epilogue layout notes (measured, scan-amortized A/B on v5e): this
+    # slice-and-lerp chain over flat 204-channel rows IS the fast form.
+    # Rejected alternatives: (a) folding mask+lerp+plane-sum into one
+    # 'pbnk,pbnkc->bnc' einsum — 2x slower (bad dot lowering/transposes);
+    # (b) a corner-major [..,4,C] table so corner selection avoids minor-dim
+    # slicing — 2.2x slower (each 51-lane corner pads to its own register
+    # tile, 2.5x the gather traffic); (c) masking the narrow per-plane output
+    # instead of the wide rows — no change (XLA fuses the mask either way).
     v00 = rows[..., :C]
     v01 = rows[..., C : 2 * C]
     v10 = rows[..., 2 * C : 3 * C]

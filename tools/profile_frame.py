@@ -85,8 +85,11 @@ def main():
     coarse_fn = jax.jit(lambda p, q, x: R._sample_52(p, q, x))
     coarse = coarse_fn(sp["renderer"], quad, flat_pts)
 
-    from ide3d_tpu.render.integration import integrate_rays, sample_pdf
-    from ide3d_tpu.render.renderer import _sort_by_depth
+    from ide3d_tpu.render.integration import (
+        integrate_rays,
+        integrate_rays_merged,
+        sample_pdf,
+    )
 
     def hier(p, q, coarse, z_vals):
         co = coarse.reshape(B, Rr, Sn, R.out_channels)
@@ -100,12 +103,65 @@ def main():
         fine = fine.reshape(B, Rr, Sn, R.out_channels)
         az = jnp.concatenate([z_vals, fz], axis=-2)
         ao = jnp.concatenate([co, fine], axis=-2)
-        az, ao = _sort_by_depth(az, ao)
-        comp, depth, wts = integrate_rays(ao, rays_d, az, clamp_mode=rp.clamp_mode)
+        comp, depth, wts = integrate_rays_merged(ao, rays_d, az, clamp_mode=rp.clamp_mode)
         return comp
 
     hier_fn = jax.jit(hier)
     comp = hier_fn(sp["renderer"], quad, coarse, z_vals)
+
+    # --- sub-stage microprobes (what the 'coarse gather+decode' ms is made of)
+    from ide3d_tpu.ops.grid_sample import sample_from_quad_table
+
+    fc = R.feature_channels
+    gather_fn = jax.jit(lambda q, x: sample_from_quad_table(x, q))
+    sampled = gather_fn(quad, flat_pts)
+    decode_fn = jax.jit(lambda p, f: R.decode_features(p, f))
+    _ = decode_fn(sp["renderer"], sampled[..., :fc])
+
+    def rows_only(q, x):
+        """The raw row gather of sample_from_quad_table, no lerp/mask epilogue."""
+        Bq, P, H1, W1, C4 = q.shape
+        H, W = H1 - 1, W1 - 1
+        x32 = x.astype(jnp.float32)
+        cx = jnp.stack([x32[..., 0], x32[..., 1], x32[..., 0]], axis=0)
+        cy = jnp.stack([x32[..., 1], x32[..., 2], x32[..., 2]], axis=0)
+        fx = (cx + 1.0) * W * 0.5 - 0.5
+        fy = (cy + 1.0) * H * 0.5 - 0.5
+        xq = jnp.clip(jnp.floor(fx).astype(jnp.int32) + 1, 0, W)
+        yq = jnp.clip(jnp.floor(fy).astype(jnp.int32) + 1, 0, H)
+        flat = q.reshape(Bq * 3 * H1 * W1, C4)
+        base = (
+            jnp.arange(Bq, dtype=jnp.int32)[None, :] * 3
+            + jnp.arange(3, dtype=jnp.int32)[:, None]
+        )[..., None] * (H1 * W1)
+        idx = base + yq * W1 + xq
+        rows = jnp.take(flat, idx.reshape(-1), axis=0)
+        return jnp.sum(rows.astype(jnp.float32), axis=0)  # tiny reduce epilogue
+
+    rows_fn = jax.jit(rows_only)
+    _ = rows_fn(quad, flat_pts)
+
+    def pdf_only(coarse, z_vals):
+        co = coarse.reshape(B, Rr, Sn, R.out_channels)
+        _, _, weights = integrate_rays(co, rays_d, z_vals, clamp_mode=rp.clamp_mode)
+        w_flat = weights.reshape(B * Rr, Sn)[:, 1:-1]
+        z_flat = z_vals.reshape(B * Rr, Sn)
+        z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+        return sample_pdf(None, z_mid, w_flat, Sn, det=True)
+
+    pdf_fn = jax.jit(pdf_only)
+    _ = pdf_fn(coarse, z_vals)
+
+    fine_all_z = jnp.concatenate(
+        [z_vals, z_vals + 0.001], axis=-2
+    )
+    merged_in = jnp.concatenate(
+        [coarse.reshape(B, Rr, Sn, R.out_channels)] * 2, axis=-2
+    )
+    merge_fn = jax.jit(
+        lambda ao, az: integrate_rays_merged(ao, rays_d, az, clamp_mode=rp.clamp_mode)[0]
+    )
+    _ = merge_fn(merged_in, fine_all_z)
 
     feature = comp[..., : R.feature_channels].reshape(B, W, W, R.feature_channels)
     raw_fn = jax.jit(
@@ -120,14 +176,19 @@ def main():
         "planes (vb stack)": (planes_fn, (sp, ws)),
         "quad table build": (quad_fn, (img_v, seg_v)),
         "coarse gather+decode": (coarse_fn, (sp["renderer"], quad, flat_pts)),
-        "hier (pdf+fine+sort+integrate)": (hier_fn, (sp["renderer"], quad, coarse, z_vals)),
+        "hier (pdf+fine+merge-integrate)": (hier_fn, (sp["renderer"], quad, coarse, z_vals)),
         "superres": (sr_fn, (sp, feature, img_raw, ws)),
+        "  sub: rows-only gather": (rows_fn, (quad, flat_pts)),
+        "  sub: quad sample (gather+lerp)": (gather_fn, (quad, flat_pts)),
+        "  sub: decode MLP": (decode_fn, (sp["renderer"], sampled[..., :fc])),
+        "  sub: coarse pdf": (pdf_fn, (coarse, z_vals)),
+        "  sub: merged integrate (192)": (merge_fn, (merged_in, fine_all_z)),
         "FULL frame": (full_fn, (sp, ws, c)),
     }
     total = 0.0
     for name, (fn, a) in stages.items():
         t = sync_time(fn, a, rtt=rtt)
-        if name != "FULL frame":
+        if name != "FULL frame" and not name.startswith("  sub"):
             total += t
         print(f"{name:34s} {t*1e3:7.2f} ms")
     print(f"{'sum of stages':34s} {total*1e3:7.2f} ms")
