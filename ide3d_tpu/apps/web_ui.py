@@ -122,9 +122,16 @@ async function view() {
   const r = await (await fetch(`/api/view?yaw=${$("yaw").value}&pitch=${$("pitch").value}`)).json();
   $("render").src = "data:image/png;base64," + r.render;
 }
+function bytesToB64(buf) {
+  // chunked: .apply with >~64k args overflows the JS argument limit at R=512
+  let s = "";
+  for (let i = 0; i < buf.length; i += 0x8000)
+    s += String.fromCharCode.apply(null, buf.subarray(i, i + 0x8000));
+  return btoa(s);
+}
 async function applyEdit() {
   status("applying edit…");
-  const b64 = btoa(String.fromCharCode.apply(null, ids));
+  const b64 = bytesToB64(ids);
   const r = await (await fetch("/api/edit", {method: "POST",
     body: JSON.stringify({mask: b64, yaw: +$("yaw").value, pitch: +$("pitch").value})})).json();
   $("render").src = "data:image/png;base64," + r.render;
@@ -134,11 +141,8 @@ async function loadMask() {
   const f = $("maskfile").files[0];
   if (!f) return;
   const buf = new Uint8Array(await f.arrayBuffer());
-  let b64 = "";
-  for (let i = 0; i < buf.length; i += 0x8000)
-    b64 += String.fromCharCode.apply(null, buf.subarray(i, i + 0x8000));
   const r = await (await fetch("/api/load_mask", {method: "POST",
-    body: JSON.stringify({png: btoa(b64)})})).json();
+    body: JSON.stringify({png: bytesToB64(buf)})})).json();
   undoStack.push(ids.slice()); redoStack = [];
   ids = Uint8Array.from(atob(r.seg_ids), c => c.charCodeAt(0));
   drawMask();
