@@ -33,6 +33,7 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--arcface-weights", default=None)
+    ap.add_argument("--output", default=None, help="also write the JSON report here")
     args = ap.parse_args(argv)
 
     import jax
@@ -99,6 +100,9 @@ def main(argv=None):
     result = {m: {"mean": float(np.mean(v)), "std": float(np.std(v))}
               for m, v in scores.items() if v}
     print(json.dumps(result))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=1)
     return result
 
 
