@@ -82,3 +82,45 @@ def test_gen_images_cli(tiny_ckpt, tmp_path):
     assert not rc
     files = os.listdir(tmp_path / "o")
     assert "seed0000.png" in files and "seed0000_seg.png" in files
+
+
+def test_run_pti_cli(tiny_ckpt, tmp_path):
+    import PIL.Image
+
+    from ide3d_tpu.apps.run_pti import main
+
+    rs = np.random.RandomState(1)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    PIL.Image.fromarray(rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "face.png"
+    )
+    out = str(tmp_path / "pti")
+    rc = main([
+        "--network", tiny_ckpt, "--images", str(img_dir), "--outdir", out,
+        "--projector-steps", "2", "--pti-steps", "2", "--lpips-threshold", "0",
+    ])
+    assert not rc
+    files = os.listdir(out)
+    assert any("face" in f for f in files), files
+
+
+def test_infer_face_animation_cli(tiny_ckpt, tmp_path):
+    import PIL.Image
+
+    from ide3d_tpu.apps.infer_face_animation import main
+
+    rs = np.random.RandomState(2)
+    mask_dir = tmp_path / "masks"
+    os.makedirs(mask_dir)
+    for i in range(2):
+        PIL.Image.fromarray(rs.randint(0, 19, (64, 64), dtype=np.uint8)).save(
+            mask_dir / f"{i:04d}.png"
+        )
+    out = str(tmp_path / "anim")
+    rc = main([
+        "--network", tiny_ckpt, "--masks", str(mask_dir), "--output", out,
+    ])
+    assert not rc
+    written = [f for f in os.listdir(tmp_path) if f.startswith("anim")]
+    assert written, "face animation wrote no output"
