@@ -41,28 +41,36 @@ def main(argv=None):
     rp = RenderParams(img_size=G.cfg.render_size, num_steps=args.num_steps, hierarchical=True)
 
     @jax.jit
-    def synth(params, ws, c):
-        return G.synthesis(params["synthesis"], ws, c, render_params=rp, return_seg=True)
+    def synth_views(params, ws, cams):
+        # All yaws in one batched program: poses are data, one dispatch per seed.
+        ws3 = jnp.broadcast_to(ws, (cams.shape[0],) + ws.shape[1:])
+        img, seg = G.synthesis(params["synthesis"], ws3, cams, render_params=rp, return_seg=True)
+        return img, mask2color(seg)
+
+    map_fn = jax.jit(
+        lambda p, z, c: G.mapping(p, z, c, truncation_psi=args.truncation_psi)
+    )
 
     cs = jnp.asarray(render.CANONICAL_POSE_25)[None]
     yaws = [-0.5, 0.0, 0.5]
-    cams = [
-        render.make_label_25(
-            render.look_at_pose(y + math.pi / 2, math.pi / 2, [0.0, 0.0, 0.0], radius=2.7)
-        )
-        for y in yaws
-    ]
+    cams = jnp.concatenate(
+        [
+            render.make_label_25(
+                render.look_at_pose(y + math.pi / 2, math.pi / 2, [0.0, 0.0, 0.0], radius=2.7)
+            )
+            for y in yaws
+        ],
+        axis=0,
+    )
 
     for seed in parse_range(args.seeds):
         z = jnp.asarray(np.random.RandomState(seed).randn(1, G.cfg.z_dim), jnp.float32)
-        ws = G.mapping(params["mapping"], z, cs, truncation_psi=args.truncation_psi)
-        imgs, segs = [], []
-        for c in cams:
-            img, seg = synth(params, ws, c)
-            imgs.append(np.asarray(img[0]))
-            segs.append(np.asarray(mask2color(seg))[0] / 127.5 - 1.0)
-        save_image_grid(np.stack(imgs), f"{args.outdir}/seed{seed:04d}.png", grid=(3, 1))
-        save_image_grid(np.stack(segs), f"{args.outdir}/seed{seed:04d}_seg.png", grid=(3, 1))
+        ws = map_fn(params["mapping"], z, cs)
+        img, seg_rgb = synth_views(params, ws, cams)
+        imgs = np.asarray(img)
+        segs = np.asarray(seg_rgb) / 127.5 - 1.0
+        save_image_grid(imgs, f"{args.outdir}/seed{seed:04d}.png", grid=(3, 1))
+        save_image_grid(segs, f"{args.outdir}/seed{seed:04d}_seg.png", grid=(3, 1))
         print(f"seed {seed}: wrote {args.outdir}/seed{seed:04d}.png (+_seg)")
 
 

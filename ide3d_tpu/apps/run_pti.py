@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--masks", default=None, help="directory of masks for encoder warm start")
     ap.add_argument("--encoder", default=None, help="HybridEncoder ckpt for initial_w")
     ap.add_argument("--labels", default=None, help="json {fname: 25-dim pose}; default front")
+    ap.add_argument("--opencv-labels", action="store_true",
+                    help="--labels values are in the dataset.json OpenCV "
+                         "convention; apply the OpenCV->OpenGL sign flip "
+                         "(data/dataset.py / dataset_seg.py:314) before use")
     ap.add_argument("--projector-steps", type=int, default=450)
     ap.add_argument("--pti-steps", type=int, default=350)
     ap.add_argument("--lpips-threshold", type=float, default=0.06)
@@ -70,6 +74,15 @@ def main(argv=None):
 
         with open(args.labels) as f:
             labels = dict(json.load(f))
+        if args.opencv_labels:
+            import numpy as np
+
+            def _cv2gl(v):
+                v = np.asarray(v, np.float32).copy()
+                v[[1, 2, 5, 6, 9, 10]] *= -1
+                return v
+
+            labels = {k: _cv2gl(v) for k, v in labels.items()}
 
     e_params = E = None
     if args.encoder:
