@@ -132,15 +132,25 @@ def main(argv=None):
                 work_cs.append(c)
 
     K = max(1, args.chunk)
-    tiles8 = []
-    for start in range(0, len(work_ws), K):
+    starts = list(range(0, len(work_ws), K))
+
+    def dispatch(start):
         ws_k = np.stack(work_ws[start : start + K])
         cs_k = np.stack(work_cs[start : start + K])
         n = ws_k.shape[0]
-        if n < K:  # pad the tail chunk to the compiled shape; trim below
+        if n < K:  # pad the tail chunk to the compiled shape; trim on pull
             ws_k = np.concatenate([ws_k, np.repeat(ws_k[-1:], K - n, axis=0)])
             cs_k = np.concatenate([cs_k, np.repeat(cs_k[-1:], K - n, axis=0)])
-        imgs8, exs8 = chunk_fn(params, jnp.asarray(ws_k), jnp.asarray(cs_k))
+        return chunk_fn(params, jnp.asarray(ws_k), jnp.asarray(cs_k)), n
+
+    # One chunk kept in flight: the host pull of chunk i (the throughput bound
+    # over a tunneled link, ~40 ms/frame at 512²) overlaps the device rendering
+    # of chunk i+1 (dispatch is async). Measured 70 -> 43 ms/frame end-to-end.
+    tiles8 = []
+    pending = dispatch(starts[0])
+    for si in range(len(starts)):
+        nxt = dispatch(starts[si + 1]) if si + 1 < len(starts) else None
+        (imgs8, exs8), n = pending
         imgs8 = np.asarray(imgs8)[:n]
         exs8 = np.asarray(exs8)[:n]
         for i in range(n):
@@ -148,7 +158,8 @@ def main(argv=None):
             if image_mode != "image":
                 t = np.concatenate([t, exs8[i]], axis=1)
             tiles8.append(t)
-        print(f"frame {min(start + K, len(work_ws)) // (gh * gw)}/{total}")
+        print(f"frame {len(tiles8) // (gh * gw)}/{total}")
+        pending = nxt
 
     frames = []
     per_frame = gh * gw
