@@ -88,32 +88,44 @@ def main(argv=None):
     image_mode = args.image_mode
     R = G.cfg.img_resolution
 
-    @jax.jit
-    def chunk_fn(params, ws_k, cs_k):
-        """Render K frames in one program: scan over per-frame synthesis, uint8
-        (and seg-color / depth-shade) conversion on device."""
-
-        def body(_, wc):
-            w, c = wc
-            out = G.synthesis(
-                params["synthesis"], w[None], c[None], render_params=rp, return_all=True
+    def post(out):
+        """Per-frame on-device epilogue: uint8 image + mode extra (seg color /
+        shaded depth)."""
+        img8 = jnp.clip(jnp.round((out["img"][0] + 1) * 127.5), 0, 255).astype(jnp.uint8)
+        if image_mode == "image_seg":
+            ex8 = mask2color(out["seg"])[0].astype(jnp.uint8)
+        elif image_mode == "image_depth":
+            d = out["depth"][0, ..., 0]
+            d = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-8)
+            d = jax.image.resize(d, (R, R), method="bilinear")
+            ex8 = jnp.repeat(
+                jnp.clip(jnp.round(d * 255), 0, 255).astype(jnp.uint8)[..., None], 3, axis=-1
             )
-            img8 = jnp.clip(jnp.round((out["img"][0] + 1) * 127.5), 0, 255).astype(jnp.uint8)
-            if image_mode == "image_seg":
-                ex8 = mask2color(out["seg"])[0].astype(jnp.uint8)
-            elif image_mode == "image_depth":
-                d = out["depth"][0, ..., 0]
-                d = (d - d.min()) / jnp.maximum(d.max() - d.min(), 1e-8)
-                d = jax.image.resize(d, (R, R), method="bilinear")
-                ex8 = jnp.repeat(
-                    jnp.clip(jnp.round(d * 255), 0, 255).astype(jnp.uint8)[..., None], 3, axis=-1
-                )
-            else:
-                ex8 = jnp.zeros((0, 0, 3), jnp.uint8)
-            return None, (img8, ex8)
+        else:
+            ex8 = jnp.zeros((0, 0, 3), jnp.uint8)
+        return img8, ex8
 
-        _, (imgs8, exs8) = jax.lax.scan(body, None, (ws_k, cs_k))
-        return imgs8, exs8
+    # Frames are independent — on a multi-chip mesh each device scans its own
+    # K/n slice of the chunk (parallel/render.make_frame_sharded_chunks);
+    # single-chip degenerates to a plain jitted scan of the same body.
+    from ..parallel.render import make_frame_sharded_chunks
+
+    ndev = jax.device_count()
+    mesh = None
+    K = max(1, args.chunk)
+    if ndev > 1:
+        K = max(K, ndev) // ndev * ndev  # round chunk to a multiple of n
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        # checkpoint restore commits params to one device; replicate over the
+        # mesh or the sharded program refuses the mixed placement
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    chunk_body = make_frame_sharded_chunks(G.synthesis, post, mesh, rp)
+
+    def chunk_fn(params, ws_k, cs_k):
+        return chunk_body(params["synthesis"], ws_k, cs_k)
 
     total = num_keyframes * args.w_frames
     # Flat work list, frame-major then tile raster order.
@@ -131,7 +143,6 @@ def main(argv=None):
                 work_ws.append(np.asarray(interps[(yi, xi)](fi / args.w_frames), np.float32))
                 work_cs.append(c)
 
-    K = max(1, args.chunk)
     starts = list(range(0, len(work_ws), K))
 
     def dispatch(start):

@@ -1,4 +1,5 @@
-"""Multi-chip single-frame rendering: shard the RAY axis over the mesh.
+"""Multi-chip rendering: shard the RAY axis (single-frame latency) or the
+FRAME axis (offline video throughput) over the mesh.
 
 The reference scales only by data parallelism (DDP batches,
 apps/train_hybrid_encoder.py:45-50); its per-frame render is single-GPU. On a
@@ -35,7 +36,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax.experimental.shard_map import shard_map  # jax.shard_map renames check_rep
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -106,3 +107,62 @@ def make_ray_sharded_frame(
         # with the single-device render is pinned by tests instead
     )
     return jax.jit(sharded)
+
+
+def make_frame_sharded_chunks(
+    S,  # models.generator.Ide3dSynthesisNetwork
+    post,  # out_dict (synthesis return_all) -> pytree of per-frame arrays
+    mesh: Optional[Mesh] = None,
+    render_params=None,
+    axis: str = "data",
+):
+    """Offline video throughput: chunk_fn(params, ws_k, cs_k) renders K frames
+    — ws_k [K, num_ws, w_dim], cs_k [K, 25] — with the FRAME axis sharded over
+    `mesh` (data parallelism over frames, the gen_videos contract: every frame
+    is independent). Each device `lax.scan`s its K/n local frames through the
+    full synthesis and applies `post` (uint8 conversion, seg colorization, …)
+    on device; outputs stay frame-sharded (leading axis K) — no collective at
+    all, the host pull stitches shards.
+
+    mesh=None (or a 1-device mesh) degenerates to a plain jitted scan — the
+    single-chip gen_videos path uses the same code.
+
+    Exact-equality with the single-device scan is pinned on an 8-virtual-device
+    CPU mesh (tests/test_parallel_render.py): noise_mode='const' makes every
+    frame's program deterministic, so sharding cannot change the math.
+
+    Params must be replicated over `mesh` (or uncommitted): checkpoints restore
+    onto one device — `jax.device_put(params, NamedSharding(mesh, P()))` first,
+    as apps/gen_videos.py does.
+    """
+    cfg = S.cfg
+    rp = render_params or cfg.render
+
+    def local_scan(params, ws_k, cs_k):
+        def body(_, wc):
+            w, c = wc
+            out = S(params, w[None], c[None], render_params=rp, return_all=True)
+            return None, post(out)
+        _, ys = jax.lax.scan(body, None, (ws_k, cs_k))
+        return ys
+
+    if mesh is None or mesh.size == 1:
+        return jax.jit(local_scan)
+
+    n = mesh.shape[axis]
+    sharded = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    fn = jax.jit(sharded)
+
+    def chunk_fn(params, ws_k, cs_k):
+        assert ws_k.shape[0] % n == 0, (
+            f"chunk size {ws_k.shape[0]} not divisible by mesh axis "
+            f"'{axis}' size {n}"
+        )
+        return fn(params, ws_k, cs_k)
+
+    return chunk_fn

@@ -77,3 +77,42 @@ def test_ray_slice_rows_equal_full_render():
     full_feat = full["feature"].reshape(2, Rr, -1)[:, start:start + length]
     np.testing.assert_allclose(np.asarray(part["feature"]), np.asarray(full_feat),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_frame_sharded_chunks_match_single_device():
+    # offline-video DP: frame axis sharded over the mesh; each device scans its
+    # local frames — must equal the plain single-device scan bit-for-bit shapes
+    # and near-exactly in values (same program per frame, noise_mode='const')
+    from ide3d_tpu.parallel.render import make_frame_sharded_chunks
+
+    G, params, ws, c = _setup()
+    rp = G.cfg.render
+
+    K = 8
+    z = jax.random.normal(jax.random.PRNGKey(5), (K, G.cfg.z_dim))
+    cs = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (K, 25))
+    ws_k = G.mapping(params["mapping"], z, cs)
+
+    def post(out):
+        img8 = jnp.clip(jnp.round((out["img"][0] + 1) * 127.5), 0, 255).astype(jnp.uint8)
+        return img8, out["depth"][0]
+
+    single = make_frame_sharded_chunks(G.synthesis, post, None, rp)
+    imgs_1, depths_1 = single(params["synthesis"], ws_k, cs)
+
+    mesh = create_mesh(8)
+    sharded = make_frame_sharded_chunks(G.synthesis, post, mesh, rp)
+    imgs_8, depths_8 = sharded(params["synthesis"], ws_k, cs)
+
+    assert imgs_8.shape == imgs_1.shape
+    # uint8 output: allow off-by-one from fp reassociation at the cast boundary
+    assert np.max(np.abs(np.asarray(imgs_8).astype(np.int32)
+                         - np.asarray(imgs_1).astype(np.int32))) <= 1
+    np.testing.assert_allclose(np.asarray(depths_8), np.asarray(depths_1),
+                               rtol=1e-5, atol=1e-5)
+
+    # chunk size not divisible by the mesh -> loud error, not silent wrong math
+    import pytest as _pytest
+    bad_ws = ws_k[:6]
+    with _pytest.raises(AssertionError):
+        sharded(params["synthesis"], bad_ws, cs[:6])
