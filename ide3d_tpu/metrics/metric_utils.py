@@ -115,10 +115,15 @@ class MetricOptions:
     cond_render: bool = False
 
 
-def _cache_path(opts: MetricOptions, tag: str) -> Optional[str]:
+def _cache_path(opts: MetricOptions, tag: str,
+                capture_all: bool, capture_mean_cov: bool) -> Optional[str]:
     if opts.cache_dir is None:
         return None
-    key = f"{tag}-{type(opts.detector).__name__}-{opts.num_items}"
+    # capture flags are part of the key: a mean/cov-only cache entry (FID)
+    # cannot serve a raw-feature-bank consumer (KID/PR) — get_all() on it
+    # would assert
+    key = (f"{tag}-{type(opts.detector).__name__}-{opts.num_items}"
+           f"-{int(capture_all)}{int(capture_mean_cov)}")
     if opts.dataset is not None and hasattr(opts.dataset, "_path"):
         key += "-" + os.path.basename(str(opts.dataset._path))
     h = hashlib.md5(key.encode()).hexdigest()[:12]
@@ -129,7 +134,7 @@ def _cache_path(opts: MetricOptions, tag: str) -> Optional[str]:
 def compute_feature_stats_for_dataset(
     opts: MetricOptions, capture_all=False, capture_mean_cov=True
 ) -> FeatureStats:
-    cache = _cache_path(opts, "dataset")
+    cache = _cache_path(opts, "dataset", capture_all, capture_mean_cov)
     if cache and os.path.exists(cache):
         return FeatureStats.load(cache)
 

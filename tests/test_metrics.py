@@ -101,6 +101,11 @@ def test_kid_pr_is_smoke(tmp_path):
                   detector_params={}, num_items=16, batch_size=8)
     kid = calc_metric("kid", **common)["results"]["kid"]
     assert np.isfinite(kid)
+    # regression: fid's cached mean/cov-only dataset stats must NOT be served
+    # to kid (which needs the raw feature bank) — one cache dir, both metrics
+    fid2 = calc_metric("fid", cache_dir=str(tmp_path), **common)["results"]["fid"]
+    kid2 = calc_metric("kid", cache_dir=str(tmp_path), **common)["results"]["kid"]
+    assert np.isfinite(fid2) and np.isfinite(kid2)
     pr = calc_metric("pr", **common)["results"]
     assert 0 <= pr["precision"] <= 1 and 0 <= pr["recall"] <= 1
     is_res = calc_metric("inception_score", **common)["results"]
