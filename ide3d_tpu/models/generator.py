@@ -483,19 +483,28 @@ class Ide3dSynthesisNetwork:
         return jax.image.resize(seg_raw, (B, R, R, C), method="bilinear")
 
 
-def make_two_phase_frame(
+def make_pipelined_frame(
     S: Ide3dSynthesisNetwork,
     render_params: Optional[RenderParams] = None,
     return_seg: bool = True,
+    cuts: tuple = ("coarse",),
 ):
-    """Latency-optimized free-view frame: the pipeline split into TWO jitted XLA
-    programs at the coarse/fine renderer boundary — measured ~10% faster than
-    the fused single program on v5e (PERF.md round 2; XLA schedules the fused
-    hierarchical program worse than its halves). Training keeps the fused path
-    (one program differentiates end-to-end); interactive/serving paths use this.
+    """Latency-optimized free-view frame: the pipeline split into chained jitted
+    XLA programs at chosen stage boundaries. XLA schedules the fused hierarchical
+    frame measurably worse than the sum of its stages on v5e (PERF.md round 2);
+    chaining smaller programs (dispatch is async, one sync at the end) recovers
+    most of that scheduling overhead. Training keeps the fused single program
+    (`S.__call__`) for end-to-end differentiation; interactive/serving paths use
+    this.
 
-    Returns frame(params, ws, c) -> img | (img, seg). Async dispatch chains the
-    two programs; callers sync once on the output.
+    Stages, in order: "planes" (vb stack + quad table [+ feature volume]),
+    "coarse" (ray gen + coarse gather/decode + weights pass + sample_pdf),
+    "fine" (fine gather/decode + merged compositing), "sr" (raw head + superres
+    + seg upsample). `cuts` names the stages AFTER which to split; every cut
+    configuration is numerically identical to the fused frame (pinned by
+    tests/test_models.py).
+
+    Returns frame(params, ws, c) -> img | (img, seg).
     """
     import jax
 
@@ -503,39 +512,81 @@ def make_two_phase_frame(
     rp = render_params or cfg.render
     dt = jnp.dtype(cfg.dtype)
     R = S.renderer
+    order = ("planes", "coarse", "fine", "sr")
+    assert all(c_ in order[:-1] for c_ in cuts), cuts
 
-    @jax.jit
-    def phase1(params, ws, c):
+    def s_planes(params, ws, c, carry):
         img_v, seg_v = S.generate_planes(params, ws)
-        cam2world = c[:, :16].reshape(-1, 4, 4).astype(jnp.float32)
-        volume = None
+        out = {"quad": R.build_table(img_v.astype(dt), seg_v.astype(dt))}
         if cfg.use_feature_volume:
-            volume = S._feature_volume()(params["feature_volume"], ws[:, 0]).astype(dt)
+            out["volume"] = S._feature_volume()(
+                params["feature_volume"], ws[:, 0]
+            ).astype(dt)
+        return out
+
+    def s_coarse(params, ws, c, carry):
+        cam2world = c[:, :16].reshape(-1, 4, 4).astype(jnp.float32)
         return R.render_coarse(
-            params["renderer"], img_v.astype(dt), seg_v.astype(dt), cam2world, rp,
-            volume=volume,
+            params["renderer"], None, None, cam2world, rp,
+            quad=carry["quad"], volume=carry.get("volume"),
         )
 
-    @jax.jit
-    def phase2(params, ws, st):
-        rout = R.render_fine(params["renderer"], st, rp)
+    def s_fine(params, ws, c, carry):
+        return R.render_fine(params["renderer"], carry, rp)
+
+    def s_sr(params, ws, c, carry):
         n_vb = len(S.voxel_block_resolutions)
         if cfg.raw_head == "slice":
-            img_raw = rout["feature"][..., :3].astype(jnp.float32)
+            img_raw = carry["feature"][..., :3].astype(jnp.float32)
         else:
             raw_row = S._vb_num_conv_total if cfg.vb_ref_compat else n_vb + 1
             img_raw = S._raw_rgb()(
-                params["raw_rgb"], rout["feature"].astype(dt), ws[:, raw_row]
+                params["raw_rgb"], carry["feature"].astype(dt), ws[:, raw_row]
             ).astype(jnp.float32)
-        img = S.superresolve(params, rout["feature"], img_raw, ws)
+        img = S.superresolve(params, carry["feature"], img_raw, ws)
         if return_seg:
-            return img, S._upsample_seg(rout["seg"])
+            return img, S._upsample_seg(carry["seg"])
         return img
 
+    stages = {"planes": s_planes, "coarse": s_coarse, "fine": s_fine, "sr": s_sr}
+
+    # Group consecutive stages between cuts; each group is one XLA program.
+    groups, cur = [], []
+    for name in order:
+        cur.append(name)
+        if name in cuts:
+            groups.append(tuple(cur))
+            cur = []
+    groups.append(tuple(cur))
+
+    def _group_fn(names):
+        @jax.jit
+        def g(params, ws, c, carry):
+            for n in names:
+                carry = stages[n](params, ws, c, carry)
+            return carry
+        return g
+
+    group_fns = [_group_fn(g) for g in groups]
+
     def frame(params, ws, c):
-        return phase2(params, ws, phase1(params, ws, c))
+        carry = None
+        for g in group_fns:
+            carry = g(params, ws, c, carry)
+        return carry
 
     return frame
+
+
+def make_two_phase_frame(
+    S: Ide3dSynthesisNetwork,
+    render_params: Optional[RenderParams] = None,
+    return_seg: bool = True,
+):
+    """The shipped two-program frame (split at the coarse/fine renderer
+    boundary) — see make_pipelined_frame for the general form and PERF.md for
+    the measurements behind the default cut."""
+    return make_pipelined_frame(S, render_params, return_seg, cuts=("coarse",))
 
 
 @dataclasses.dataclass(frozen=True)

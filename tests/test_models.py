@@ -397,6 +397,29 @@ def test_jitted_synthesis_matches_eager(tiny_G):
     np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-4, rtol=1e-4)
 
 
+def test_pipelined_frame_all_cuts_match_fused(tiny_G):
+    """Every cut configuration of make_pipelined_frame (1–4 chained XLA
+    programs) is numerically identical to the fused synthesis."""
+    from ide3d_tpu.models.generator import make_pipelined_frame
+
+    G, params = tiny_G
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, G.cfg.z_dim))
+    c = canonical_c(1)
+    ws = G.mapping(params["mapping"], z, c)
+    img_ref, seg_ref = jax.jit(
+        lambda p, w, cc: G.synthesis(p, w, cc, return_seg=True)
+    )(params["synthesis"], ws, c)
+    assert np.isfinite(np.asarray(img_ref)).all()
+    for cuts in [(), ("planes",), ("fine",), ("planes", "coarse", "fine")]:
+        frame = make_pipelined_frame(G.synthesis, G.cfg.render,
+                                     return_seg=True, cuts=cuts)
+        img, seg = frame(params["synthesis"], ws, c)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(cuts))
+        np.testing.assert_allclose(np.asarray(seg), np.asarray(seg_ref),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(cuts))
+
+
 def test_two_phase_frame_hybrid(tiny_G):
     """Two-phase frame carries the hybrid voxel branch too."""
     from ide3d_tpu.models.generator import make_two_phase_frame
