@@ -34,6 +34,16 @@ def main(argv=None):
     ap.add_argument("--pl-weight", type=float, default=0.0,
                     help="StyleGAN2 path-length regularization weight (0 = off)")
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--metrics", default="",
+                    help="comma list (e.g. fid,kid) evaluated on G_ema at every "
+                         "snapshot + at the end, reported to metric-<name>.jsonl "
+                         "(the reference training convention: StyleGAN2-ADA "
+                         "train loop + metric_main.report_metric)")
+    ap.add_argument("--metric-items", type=int, default=500)
+    ap.add_argument("--metric-detector", choices=["pixel", "inception", "vgg16"],
+                    default="pixel")
+    ap.add_argument("--metric-detector-weights", default=None,
+                    help="torch state_dict (.pth) for the metric detector")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--preset", choices=["full", "small", "tiny"], default="full",
                     help="tiny = smoke-test scale (CI / CPU); small = 64px "
@@ -134,6 +144,46 @@ def main(argv=None):
         ada = AdaState(p=jnp.asarray(ada_p), rt_accum=jnp.zeros((2,)))
     acc = StatsAccumulator()
 
+    metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    if metric_names:
+        from ..metrics import calc_metric
+        from ..metrics.features import InceptionV3, PixelFeatures, VGG16Features
+
+        if args.metric_detector == "pixel":
+            met_det, met_dp = PixelFeatures(), {}
+        else:
+            met_det = (InceptionV3() if args.metric_detector == "inception"
+                       else VGG16Features())
+            if args.metric_detector_weights:
+                from ..io.torch_import import (load_torch_state_dict,
+                                               state_dict_to_tree)
+
+                met_dp = state_dict_to_tree(
+                    load_torch_state_dict(args.metric_detector_weights))
+            elif args.metric_detector == "inception":
+                met_dp = met_det.init()
+            else:
+                met_dp = met_det.init(jax.random.PRNGKey(0))
+
+        def eval_metrics(g_ema, kimg):
+            # dataset stats hit the disk cache after the first snapshot; only
+            # the generator-side extraction reruns.
+            for name in metric_names:
+                rec = calc_metric(
+                    name, G=G, g_params=g_ema, dataset=dataset,
+                    detector=met_det, detector_params=met_dp,
+                    num_items=args.metric_items, batch_size=args.batch,
+                    cache_dir=os.path.join(args.outdir, ".metric_cache"),
+                    mesh=mesh,
+                )
+                line = {"kimg": kimg, **rec}
+                print(json.dumps(line, default=float))
+                with open(os.path.join(args.outdir, f"metric-{name}.jsonl"), "a") as f:
+                    f.write(json.dumps(line, default=float) + "\n")
+    else:
+        def eval_metrics(g_ema, kimg):
+            pass
+
     grid_z = jnp.asarray(np.random.RandomState(1).randn(16, gcfg.z_dim), jnp.float32)
     grid_c = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (16, 25))
 
@@ -202,6 +252,7 @@ def main(argv=None):
                  "pl_mean": state.pl_mean},
                 config=gcfg, step=int(state.step), ada_p=ada_p,
             )
+            eval_metrics(state.params_g_ema, cur_img / 1000)
             next_snap = cur_img + args.snap_kimg * 1000
 
     save_checkpoint(
@@ -210,6 +261,7 @@ def main(argv=None):
          "opt_g": state.opt_g, "opt_d": state.opt_d, "pl_mean": state.pl_mean},
         config=gcfg, step=int(state.step), ada_p=ada_p,
     )
+    eval_metrics(state.params_g_ema, cur_img / 1000)
     print("done")
 
 

@@ -483,9 +483,14 @@ def test_train_gan_cli_smoke(tmp_path):
         "--data", str(imgs), "--seg", str(segs), "--outdir", str(out),
         "--batch", "2", "--kimg", "0.004", "--resolution", "32",
         "--preset", "tiny", "--grid-kimg", "1", "--snap-kimg", "1",
+        "--metrics", "fid", "--metric-items", "4",
     ])
     assert (out / "snapshot-final").exists()
     assert any(p.name.startswith("fakes") for p in out.iterdir())
+    # in-training metric evaluation (StyleGAN2-ADA convention): G_ema FID at
+    # the final snapshot, reported to metric-fid.jsonl
+    recs = [json.loads(l) for l in (out / "metric-fid.jsonl").read_text().splitlines()]
+    assert recs and np.isfinite(recs[-1]["results"]["fid"])
 
 
 def test_train_hybrid_encoder_cli_smoke(tmp_path):
