@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--snap-kimg", type=int, default=200)
     ap.add_argument("--grid-kimg", type=int, default=50)
     ap.add_argument("--ada-target", type=float, default=0.6)
+    ap.add_argument("--ada-speed", type=float, default=500.0,
+                    help="ADA adjustment speed in kimg (stylegan2-ada ada_kimg; "
+                         "lower = faster p adaptation, useful on small datasets)")
     ap.add_argument("--no-ada", action="store_true")
     ap.add_argument("--r1-gamma", type=float, default=1.0)
     ap.add_argument("--pl-weight", type=float, default=0.0,
@@ -217,7 +220,8 @@ def main(argv=None):
             # per-sample sign statistic computed in-jit over the global batch
             ada = ada_accumulate(ada, float(np.asarray(stats["real_signs"])), args.batch)
             if (cur_img // args.batch) % 4 == 0:
-                ada = ada_update(ada, args.batch * 4, target=args.ada_target)
+                ada = ada_update(ada, args.batch * 4, target=args.ada_target,
+                                 speed_kimg=args.ada_speed)
                 ada_p = float(ada.p)
 
         if cur_img % (args.batch * 100) == 0:
