@@ -53,6 +53,10 @@ def write_video(path: str, frames, fps: int = 24):
 
     frames = [np.ascontiguousarray(f) for f in frames]
     try:
+        # gate on the ffmpeg backend: without it imageio falls back to a PIL
+        # writer that dies at GC time with "unknown file extension" (an
+        # unraisable warning in tests), so don't even construct it
+        import imageio_ffmpeg  # noqa: F401
         import imageio
 
         imageio.mimwrite(path, frames, fps=fps)

@@ -193,7 +193,7 @@ def pos_similarity(xp: np.ndarray, x3d: np.ndarray):
     b = xp.reshape(-1, 1)
     k, *_ = np.linalg.lstsq(A, b, rcond=None)
     R1, R2 = k[0:3], k[4:7]
-    sTx, sTy = float(k[3]), float(k[7])
+    sTx, sTy = float(k[3, 0]), float(k[7, 0])
     s = (np.linalg.norm(R1) + np.linalg.norm(R2)) / 2.0
     return np.array([sTx, sTy]), float(s)
 
