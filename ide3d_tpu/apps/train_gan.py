@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--ada-speed", type=float, default=500.0,
                     help="ADA adjustment speed in kimg (stylegan2-ada ada_kimg; "
                          "lower = faster p adaptation, useful on small datasets)")
+    ap.add_argument("--ada-pmax", type=float, default=1.0,
+                    help="cap on ADA p (prevents runaway G collapse when D "
+                         "memorizes a tiny dataset and rt pins above target; "
+                         "TRAINING.md)")
     ap.add_argument("--no-ada", action="store_true")
     ap.add_argument("--r1-gamma", type=float, default=1.0)
     ap.add_argument("--pl-weight", type=float, default=0.0,
@@ -221,7 +225,7 @@ def main(argv=None):
             ada = ada_accumulate(ada, float(np.asarray(stats["real_signs"])), args.batch)
             if (cur_img // args.batch) % 4 == 0:
                 ada = ada_update(ada, args.batch * 4, target=args.ada_target,
-                                 speed_kimg=args.ada_speed)
+                                 speed_kimg=args.ada_speed, p_max=args.ada_pmax)
                 ada_p = float(ada.p)
 
         if cur_img % (args.batch * 100) == 0:

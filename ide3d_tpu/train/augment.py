@@ -281,8 +281,13 @@ def ada_accumulate(state: AdaState, sign_mean, n) -> AdaState:
 
 
 def ada_update(state: AdaState, batch_size: int, target: float = 0.6,
-               speed_kimg: float = 500.0) -> AdaState:
+               speed_kimg: float = 500.0, p_max: float = 1.0) -> AdaState:
+    """p_max extends the reference controller: when D fully memorizes a small
+    dataset, rt pins at 1.0 > target and p integrates upward without bound,
+    eventually collapsing G (measured: FID 82->127 as p passed ~0.6 on a
+    1k-image run, TRAINING.md). Capping p bounds the leak while keeping the
+    adaptive behavior below the cap."""
     rt = state.rt_accum[0] / jnp.maximum(state.rt_accum[1], 1.0)
     adjust = jnp.sign(rt - target) * batch_size / (speed_kimg * 1000.0)
-    p = jnp.clip(state.p + adjust, 0.0, 1.0)
+    p = jnp.clip(state.p + adjust, 0.0, p_max)
     return AdaState(p=p, rt_accum=jnp.zeros((2,)))

@@ -54,6 +54,18 @@ def test_ada_controller_moves_p():
     assert float(st2.p) < float(st.p)
 
 
+def test_ada_controller_p_max_caps_runaway():
+    """With D fully memorizing (rt pinned at 1.0 > target) p integrates upward
+    without bound; p_max caps it (the measured FID-collapse mitigation,
+    TRAINING.md extended run)."""
+    st = AdaState(p=jnp.asarray(0.29), rt_accum=jnp.zeros((2,)))
+    for _ in range(10):
+        st = ada_accumulate(st, 1.0, 32)
+        st = ada_update(st, batch_size=32, target=0.6, speed_kimg=0.001,
+                        p_max=0.3)
+    assert abs(float(st.p) - 0.3) < 1e-6
+
+
 def test_ada_controller_is_mean_of_sign_not_sign_of_mean():
     """Per-sample semantics (VERDICT item 3): a batch with logits
     [+10, -1, -1, -1] has sign-mean -0.5 (p should go DOWN with target 0.6),
