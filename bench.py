@@ -87,10 +87,6 @@ def main():
         # .claude/skills/verify/SKILL.md)
         return img, seg, _checksum(img, seg)
 
-    @jax.jit
-    def _noop(x):
-        return jnp.sum(x)
-
     B = args.batch
     z = jax.random.normal(jax.random.PRNGKey(1), (B, G.cfg.z_dim))
     c0 = jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25))
@@ -118,27 +114,26 @@ def main():
     # the BEST block median is reported — transient queue/allocator state can
     # depress a single block 15-20% (PERF.md), and steady-state throughput is
     # the product-relevant figure.
-    best = None
+    block_medians = []
+    all_rtts = []
     for b in range(max(1, args.blocks)):
         if b > 0:
             time.sleep(args.block_gap)
             for i in range(2):  # re-warm after the idle gap
                 float(frame(params, ws, cams[i])[2])
-        probe = jax.numpy.ones((8, 128))
-        rtts = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            float(_noop(probe))
-            rtts.append(time.perf_counter() - t0)
-        rtt = sorted(rtts)[len(rtts) // 2]
+        all_rtts.extend(_rtt_samples())
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
             float(frame(params, ws, cams[args.warmup + i])[2])
             times.append(time.perf_counter() - t0)
-        median = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
-        best = median if best is None else min(best, median)
+        block_medians.append(sorted(times)[len(times) // 2])
 
+    # One POOLED RTT median across all blocks: subtracting a per-block RTT
+    # from a per-block minimum would be one-sided biased (a transiently high
+    # RTT estimate inflates that block's corrected fps and min() picks it).
+    rtt = sorted(all_rtts)[len(all_rtts) // 2]
+    best = max(min(block_medians) - rtt, 1e-6)
     fps = B / best
     result = {
         "metric": "free_view_512_rgb_seg_fps",
@@ -150,19 +145,26 @@ def main():
     return 0
 
 
-def _rtt_baseline():
-    """Median dispatch round-trip of a trivial readback (the tunneled TPU adds
-    ~30 ms per synchronous readback; subtracted so metrics reflect device time)."""
+def _rtt_samples(n: int = 10):
+    """n dispatch round-trip samples of a trivial readback (the tunneled TPU
+    adds ~30 ms per synchronous readback; subtracted so metrics reflect device
+    time). The single source of the RTT measurement discipline — bench paths
+    and tools/ab_phase_split.py all draw from here."""
     @jax.jit
     def _noop(x):
         return jnp.sum(x)
 
     probe = jnp.ones((8, 128))
     rtts = []
-    for _ in range(10):
+    for _ in range(n):
         t0 = time.perf_counter()
         float(_noop(probe))
         rtts.append(time.perf_counter() - t0)
+    return rtts
+
+
+def _rtt_baseline():
+    rtts = _rtt_samples()
     return sorted(rtts)[len(rtts) // 2]
 
 

@@ -25,36 +25,17 @@ def main(argv=None):
     ap.add_argument("--run-dir", default=None)
     args = ap.parse_args(argv)
 
-    import jax
-
     from ..metrics import calc_metric
-    from ..metrics.features import InceptionV3, PixelFeatures, VGG16Features
+    from ..metrics.features import make_detector
     from .common import load_generator
 
     G, g_params = load_generator(args.network)
 
-    if args.detector == "pixel":
-        det, dp = PixelFeatures(), {}
-        if args.metrics != "ppl2_wend":
-            print("WARNING: pixel detector gives scores NOT comparable with "
-                  "Inception-based references; pass --detector inception "
-                  "--detector-weights for real numbers.")
-    elif args.detector == "inception":
-        det = InceptionV3()
-        if args.detector_weights:
-            from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
-
-            dp = state_dict_to_tree(load_torch_state_dict(args.detector_weights))
-        else:
-            dp = det.init()
-    else:
-        det = VGG16Features()
-        if args.detector_weights:
-            from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
-
-            dp = state_dict_to_tree(load_torch_state_dict(args.detector_weights))
-        else:
-            dp = det.init(jax.random.PRNGKey(0))
+    if args.detector == "pixel" and args.metrics != "ppl2_wend":
+        print("WARNING: pixel detector gives scores NOT comparable with "
+              "Inception-based references; pass --detector inception "
+              "--detector-weights for real numbers.")
+    det, dp = make_detector(args.detector, args.detector_weights)
 
     dataset = None
     if args.data:

@@ -154,30 +154,27 @@ def main(argv=None):
     metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
     if metric_names:
         from ..metrics import calc_metric
-        from ..metrics.features import InceptionV3, PixelFeatures, VGG16Features
+        from ..metrics.features import make_detector
 
-        if args.metric_detector == "pixel":
-            met_det, met_dp = PixelFeatures(), {}
-        else:
-            met_det = (InceptionV3() if args.metric_detector == "inception"
-                       else VGG16Features())
-            if args.metric_detector_weights:
-                from ..io.torch_import import (load_torch_state_dict,
-                                               state_dict_to_tree)
-
-                met_dp = state_dict_to_tree(
-                    load_torch_state_dict(args.metric_detector_weights))
-            elif args.metric_detector == "inception":
-                met_dp = met_det.init()
-            else:
-                met_dp = met_det.init(jax.random.PRNGKey(0))
+        met_det, met_dp = make_detector(args.metric_detector,
+                                        args.metric_detector_weights)
+        # real-side stats come from the UN-mirrored dataset (the reference
+        # fid50k_full convention pins xflip=False for metrics even when
+        # training mirrors) — the training loader's xflip copies would
+        # otherwise contaminate the cached real feature bank
+        metric_dataset = CameraLabeledDataset(
+            args.data, args.seg, resolution=args.resolution, xflip=False)
+        metric_done = set()
 
         def eval_metrics(g_ema, kimg):
+            if kimg in metric_done:  # final save can coincide with a snapshot
+                return
+            metric_done.add(kimg)
             # dataset stats hit the disk cache after the first snapshot; only
             # the generator-side extraction reruns.
             for name in metric_names:
                 rec = calc_metric(
-                    name, G=G, g_params=g_ema, dataset=dataset,
+                    name, G=G, g_params=g_ema, dataset=metric_dataset,
                     detector=met_det, detector_params=met_dp,
                     num_items=args.metric_items, batch_size=args.batch,
                     cache_dir=os.path.join(args.outdir, ".metric_cache"),

@@ -341,3 +341,24 @@ class InceptionV3:
         x = mixed_e(x, p["Mixed_7b"])
         x = mixed_e(x, p["Mixed_7c"])
         return jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 2048]
+
+
+def make_detector(name: str, weights: "str | None" = None, seed: int = 0):
+    """Construct a metric feature detector + params by name.
+
+    The ONE place detector selection / weight loading lives (used by
+    apps/calc_metrics.py and the train_gan in-training metric path): 'pixel'
+    (weightless downsample features), 'inception' (InceptionV3, FID detector),
+    'vgg16' (PPL/PR detector). `weights` is an optional torch state_dict path;
+    without it, inception uses its deterministic init and vgg16 a seeded
+    random init (relative-tracking only — the CLIs warn)."""
+    if name == "pixel":
+        return PixelFeatures(), {}
+    det = InceptionV3() if name == "inception" else VGG16Features()
+    if weights:
+        from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
+
+        return det, state_dict_to_tree(load_torch_state_dict(weights))
+    if name == "inception":
+        return det, det.init()
+    return det, det.init(jax.random.PRNGKey(seed))

@@ -161,6 +161,46 @@ def compute_feature_stats_for_dataset(
     return stats
 
 
+# jitted (generator -> detector) extraction programs, memoized across calls:
+# repeated metric evaluation (train_gan per-snapshot --metrics) would otherwise
+# re-trace the full G forward at every snapshot. Keyed by object identity with
+# the objects held strongly (so ids can't be recycled); params/weights stay
+# per-call arguments.
+_GEN_DETECT_CACHE: dict = {}
+
+
+def _jitted_gen_detect(G, detector, mesh, cond_render: bool):
+    key = (id(G), id(detector), id(mesh), cond_render)
+    hit = _GEN_DETECT_CACHE.get(key)
+    if hit is not None and hit[0] is G and hit[1] is detector and hit[2] is mesh:
+        return hit[3]
+
+    if cond_render:
+        def _gen_and_detect(params, dp, z, c, cond):
+            img = G(params, z, c, cond_img=cond)
+            return detector(dp, img)
+    else:
+        def _gen_and_detect(params, dp, z, c):
+            img = G(params, z, c)
+            return detector(dp, img)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        n_in = 5 if cond_render else 4
+        fn = jax.jit(
+            _gen_and_detect,
+            in_shardings=(repl, repl) + (data,) * (n_in - 2),
+            out_shardings=data,
+        )
+    else:
+        fn = jax.jit(_gen_and_detect)
+    _GEN_DETECT_CACHE[key] = (G, detector, mesh, fn)
+    return fn
+
+
 def compute_feature_stats_for_generator(
     opts: MetricOptions, capture_all=False, capture_mean_cov=True,
     label_sampler: Optional[Callable[[int, np.random.RandomState], np.ndarray]] = None,
@@ -180,33 +220,14 @@ def compute_feature_stats_for_generator(
             "cond_render requires GeneratorConfig.use_encoder"
         )
 
-        def _gen_and_detect(params, dp, z, c, cond):
-            img = G(params, z, c, cond_img=cond)
-            return opts.detector(dp, img)
-    else:
-
-        def _gen_and_detect(params, dp, z, c):
-            img = G(params, z, c)
-            return opts.detector(dp, img)
-
+    gen_and_detect = _jitted_gen_detect(G, opts.detector, opts.mesh,
+                                        opts.cond_render)
     if opts.mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = opts.mesh
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-        n_in = 5 if opts.cond_render else 4
-        gen_and_detect = jax.jit(
-            _gen_and_detect,
-            in_shardings=(repl, repl) + (data,) * (n_in - 2),
-            out_shardings=data,
-        )
         from ..parallel import replicate
 
-        params = replicate(mesh, params)
-        dp_repl = replicate(mesh, opts.detector_params)
+        params = replicate(opts.mesh, params)
+        dp_repl = replicate(opts.mesh, opts.detector_params)
     else:
-        gen_and_detect = jax.jit(_gen_and_detect)
         dp_repl = opts.detector_params
 
     B = opts.batch_size

@@ -410,6 +410,7 @@ def test_pipelined_frame_all_cuts_match_fused(tiny_G):
         lambda p, w, cc: G.synthesis(p, w, cc, return_seg=True)
     )(params["synthesis"], ws, c)
     assert np.isfinite(np.asarray(img_ref)).all()
+    assert np.isfinite(np.asarray(seg_ref)).all()  # allclose is equal_nan=True
     for cuts in [(), ("planes",), ("fine",), ("planes", "coarse", "fine")]:
         frame = make_pipelined_frame(G.synthesis, G.cfg.render,
                                      return_seg=True, cuts=cuts)

@@ -50,18 +50,7 @@ def main():
     def _checksum(img, seg):
         return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
 
-    @jax.jit
-    def _noop(x):
-        return jnp.sum(x)
-
-    def rtt_baseline():
-        probe = jnp.ones((8, 128))
-        rtts = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            float(_noop(probe))
-            rtts.append(time.perf_counter() - t0)
-        return sorted(rtts)[len(rtts) // 2]
+    from bench import _rtt_baseline as rtt_baseline  # one RTT discipline
 
     configs = [
         ("fused", ()),
