@@ -38,8 +38,10 @@ def main():
                          "reallocation lever, PERF.md)")
     ap.add_argument("--metric",
                     choices=["fps", "edit_loop", "edit_stroke", "pose_only",
-                             "video_throughput"],
+                             "video_throughput", "train_step"],
                     default="fps")
+    ap.add_argument("--train-batch", type=int, default=4,
+                    help="train_step: per-chip batch size")
     ap.add_argument("--chunk", type=int, default=8,
                     help="video_throughput: frames per scanned XLA program")
     ap.add_argument("--blocks", type=int, default=3,
@@ -58,6 +60,8 @@ def main():
     rp = RenderParams(img_size=64, num_steps=args.num_steps,
                       fine_steps=args.fine_steps, hierarchical=True)
     G = Ide3dGenerator(GeneratorConfig(render=rp))
+    if args.metric == "train_step":
+        return bench_train_step(G, args)
     params = jax.jit(G.init)(jax.random.PRNGKey(0))
 
     if args.metric == "edit_loop":
@@ -145,15 +149,18 @@ def main():
     return 0
 
 
+@jax.jit
+def _noop(x):
+    return jnp.sum(x)
+
+
 def _rtt_samples(n: int = 10):
     """n dispatch round-trip samples of a trivial readback (the tunneled TPU
     adds ~30 ms per synchronous readback; subtracted so metrics reflect device
     time). The single source of the RTT measurement discipline — bench paths
-    and tools/ab_phase_split.py all draw from here."""
-    @jax.jit
-    def _noop(x):
-        return jnp.sum(x)
-
+    and tools/ab_phase_split.py all draw from here. _noop is jitted at module
+    scope so repeated calls reuse one compiled program (a per-call jit wrapper
+    would put trace/compile time into the first sample of every call)."""
     probe = jnp.ones((8, 128))
     rtts = []
     for _ in range(n):
@@ -285,6 +292,79 @@ def bench_video(G, params, args, rp):
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def bench_train_step(G, args):
+    """Production GAN-training throughput: images/sec of ONE fully-jitted
+    train step (train/gan.py make_gan_train_step) at the flagship config —
+    512^2 output, 64^2 neural render at the reference 96+96 sampling budget,
+    dual-branch seg-conditioned D, ADA in-loss, R1 at its 1/16 duty cycle.
+    The step includes D fwd+bwd (incl. a fake-synthesis forward), G fwd+bwd,
+    both optimizer updates, w_avg + G_ema updates — everything a real
+    training iteration pays (apps/train_gan.py runs this exact step).
+
+    Measured over a whole number of R1 periods so the lazy-regularization
+    branch is amortized at its true cadence. vs_baseline is imgs/sec / 8.0 —
+    8 imgs/s/chip sustains a 25,000-kimg run (the StyleGAN2-ADA full budget)
+    in ~36 days on one chip, the single-accelerator feasibility bar; the
+    reference never published training throughput (its loop was never
+    released, SURVEY.md section 6)."""
+    from ide3d_tpu.models.discriminator import Discriminator, DiscriminatorConfig
+    from ide3d_tpu.train.gan import (GanTrainConfig, d_input_channels,
+                                     init_gan_state, make_gan_train_step)
+    from ide3d_tpu import render
+
+    tcfg = GanTrainConfig()
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=G.cfg.img_resolution,
+        img_channels=d_input_channels(tcfg, G.cfg),
+    ))
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    step_fn = make_gan_train_step(G, D, tcfg)
+
+    B = args.train_batch
+    R = G.cfg.img_resolution
+    key = jax.random.PRNGKey(1)
+    k_img, k_seg, k_rng = jax.random.split(key, 3)
+    batch = {
+        "img": jax.random.uniform(k_img, (B, R, R, 3), minval=-1.0, maxval=1.0),
+        "seg": jax.nn.one_hot(
+            jax.random.randint(k_seg, (B, R, R), 0, G.cfg.seg_channels),
+            G.cfg.seg_channels) * 2.0 - 1.0,
+        "c": jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (B, 25)),
+    }
+
+    def run(state, i):
+        state, stats = step_fn(state, batch, jax.random.fold_in(k_rng, i),
+                               jnp.asarray(0.5, jnp.float32))
+        # scalar readback = true device sync (axon backend discipline)
+        loss = float(stats["loss_d"])
+        return state, loss
+
+    # One warm step compiles the whole program (lax.cond traces BOTH R1
+    # branches into the single executable) and advances the counter to 1.
+    state, _ = run(state, 0)
+
+    rtt = _rtt_baseline()
+    # whole R1 periods: counter at 1, so R1 (step % 16 == 0) fires at 16,
+    # 32, ... — exactly N times in N*16 measured steps.
+    n_steps = max(1, args.iters // 16) * 16
+    times = []
+    for i in range(n_steps):
+        t0 = time.perf_counter()
+        state, loss = run(state, 1 + i)
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(loss), "train step diverged during bench"
+    total = sum(times) - rtt * n_steps
+    imgs_per_sec = n_steps * B / max(total, 1e-6)
+    result = {
+        "metric": "gan_train_step_imgs_per_sec",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / 8.0, 4),
     }
     print(json.dumps(result))
     return 0

@@ -124,32 +124,51 @@ def main(argv=None):
                 )(e_params, g_params, target, seg)
 
         print(f"[{fi+1}/{len(files)}] projecting {name} ...")
-        w_pivot = project_w_plus(G, tuned, target, c, pcfg, initial_w=initial_w,
-                                 key=jax.random.PRNGKey(fi), verbose=True)
+        w_pivot, noise = project_w_plus(G, tuned, target, c, pcfg,
+                                        initial_w=initial_w,
+                                        key=jax.random.PRNGKey(fi), verbose=True,
+                                        return_noise=True)
         save_pytree_npz(os.path.join(args.outdir, f"{name}.npz"), {"ws": w_pivot})
         save_pytree_npz(os.path.join(args.outdir, f"{name}_label.npz"), {"c": c})
-        pivots.append((name, w_pivot, target, c))
+        pivots.append((name, w_pivot, noise, target, c))
 
         if not args.multi_id:
             print(f"tuning G around pivot {name} ...")
-            tuned_i = pivotal_tune(G, g_params, w_pivot, target, c, tcfg, verbose=True)
+            # the pivot w was optimized jointly with these noise buffers — PTI
+            # must inherit them (the reference projector writes G's buffers in
+            # place and the coach tunes that same G, base_coach.py:105)
+            base = _with_noise(g_params, noise)
+            tuned_i = pivotal_tune(G, base, w_pivot, target, c, tcfg, verbose=True)
             save_checkpoint(os.path.join(args.outdir, f"model_{name}"),
                             {"G_ema": tuned_i}, config=G.cfg)
             _save_viz(G, tuned_i, w_pivot, target, c, args, name)
 
     if args.multi_id:
-        # MultiIDCoach: one generator tuned over all pivots round-robin.
+        # MultiIDCoach: one generator tuned over all pivots round-robin. Each
+        # pivot's projector noise is merged just before its tuning pass (the
+        # reference's in-place buffer writes leave the LAST projector's noise
+        # in G; per-pivot merging is the closest functional equivalent).
         print("multi-id tuning over all pivots ...")
-        for name, w_pivot, target, c in pivots:
-            tuned = pivotal_tune(G, tuned, w_pivot, target, c,
+        for name, w_pivot, noise, target, c in pivots:
+            tuned = pivotal_tune(G, _with_noise(tuned, noise), w_pivot, target, c,
                                  PtiConfig(max_steps=max(tcfg.max_steps // len(pivots), 20),
                                            lpips_threshold=tcfg.lpips_threshold))
         save_checkpoint(os.path.join(args.outdir, "model_multi_id"),
                         {"G_ema": tuned}, config=G.cfg)
-        for name, w_pivot, target, c in pivots:
+        for name, w_pivot, noise, target, c in pivots:
             _save_viz(G, tuned, w_pivot, target, c, args, name)
 
     print(f"done: {args.outdir}")
+
+
+def _with_noise(g_params, noise):
+    """Merge projector-optimized noise buffers into a params tree (no-op for
+    --no-noise-opt runs, where the projector returns an empty dict)."""
+    if not noise:
+        return g_params
+    from ..train.pti import merge_noise
+
+    return {**g_params, "synthesis": merge_noise(g_params["synthesis"], noise)}
 
 
 def _save_viz(G, g_params, w_pivot, target, c, args, name):

@@ -354,6 +354,8 @@ def make_detector(name: str, weights: "str | None" = None, seed: int = 0):
     random init (relative-tracking only — the CLIs warn)."""
     if name == "pixel":
         return PixelFeatures(), {}
+    if name not in ("inception", "vgg16"):
+        raise ValueError(f"unknown detector {name!r} (pixel | inception | vgg16)")
     det = InceptionV3() if name == "inception" else VGG16Features()
     if weights:
         from ..io.torch_import import load_torch_state_dict, state_dict_to_tree

@@ -124,8 +124,21 @@ def _cache_path(opts: MetricOptions, tag: str,
     # would assert
     key = (f"{tag}-{type(opts.detector).__name__}-{opts.num_items}"
            f"-{int(capture_all)}{int(capture_mean_cov)}")
-    if opts.dataset is not None and hasattr(opts.dataset, "_path"):
-        key += "-" + os.path.basename(str(opts.dataset._path))
+    if opts.dataset is not None:
+        # dataset IDENTITY is part of the key: the same path loaded with
+        # xflip/resolution/length differences yields different real statistics
+        # (e.g. train_gan's metric path pins xflip=False while the training
+        # loader mirrors — a path-only key would silently serve stale
+        # mirrored stats)
+        if hasattr(opts.dataset, "_path"):
+            key += "-" + os.path.basename(str(opts.dataset._path))
+        for attr in ("xflip", "resolution"):
+            if hasattr(opts.dataset, attr):
+                key += f"-{attr}{getattr(opts.dataset, attr)}"
+        try:
+            key += f"-n{len(opts.dataset)}"
+        except TypeError:
+            pass
     h = hashlib.md5(key.encode()).hexdigest()[:12]
     os.makedirs(opts.cache_dir, exist_ok=True)
     return os.path.join(opts.cache_dir, f"stats-{h}.pkl")
@@ -163,16 +176,20 @@ def compute_feature_stats_for_dataset(
 
 # jitted (generator -> detector) extraction programs, memoized across calls:
 # repeated metric evaluation (train_gan per-snapshot --metrics) would otherwise
-# re-trace the full G forward at every snapshot. Keyed by object identity with
-# the objects held strongly (so ids can't be recycled); params/weights stay
-# per-call arguments.
-_GEN_DETECT_CACHE: dict = {}
+# re-trace the full G forward at every snapshot. Keyed by object identity;
+# entries hold the keyed objects strongly so ids can't be recycled while the
+# entry lives, and the cache is a small LRU so long-lived processes that churn
+# through many generators (the test suite, a multi-network render service)
+# don't accumulate compiled programs without bound.
+_GEN_DETECT_CACHE: "dict" = {}
+_GEN_DETECT_CACHE_MAX = 8
 
 
 def _jitted_gen_detect(G, detector, mesh, cond_render: bool):
     key = (id(G), id(detector), id(mesh), cond_render)
     hit = _GEN_DETECT_CACHE.get(key)
-    if hit is not None and hit[0] is G and hit[1] is detector and hit[2] is mesh:
+    if hit is not None:
+        _GEN_DETECT_CACHE[key] = _GEN_DETECT_CACHE.pop(key)  # LRU touch
         return hit[3]
 
     if cond_render:
@@ -197,6 +214,8 @@ def _jitted_gen_detect(G, detector, mesh, cond_render: bool):
         )
     else:
         fn = jax.jit(_gen_and_detect)
+    while len(_GEN_DETECT_CACHE) >= _GEN_DETECT_CACHE_MAX:
+        _GEN_DETECT_CACHE.pop(next(iter(_GEN_DETECT_CACHE)))
     _GEN_DETECT_CACHE[key] = (G, detector, mesh, fn)
     return fn
 

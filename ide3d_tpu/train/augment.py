@@ -104,7 +104,10 @@ def _geometry_matrix(
         k = jax.random.randint(keys[2], (B,), 0, 4).astype(jnp.float32) * w
         G = _rot2d(-k * (math.pi / 2)) @ G
     if cfg.xint > 0:
-        w = _bernoulli(keys[3], cfg.xint * p, (B, 2))
+        # ONE Bernoulli gates BOTH translation axes (the reference draws the
+        # where-mask with shape [B,1], augment.py:207 — independent per-axis
+        # gates would produce x-only/y-only shifts the reference never emits)
+        w = _bernoulli(keys[3], cfg.xint * p, (B, 1))
         t = (jax.random.uniform(keys[4], (B, 2)) * 2 - 1) * cfg.xint_max * w
         t = jnp.round(t * jnp.asarray([W, H]) / 2.0) * 2.0 / jnp.asarray([W, H])
         G = _translate2d(t[:, 0], t[:, 1]) @ G
@@ -112,16 +115,27 @@ def _geometry_matrix(
         w = _bernoulli(keys[5], cfg.scale * p, (B,))
         s = jnp.exp2(jax.random.normal(keys[6], (B,)) * cfg.scale_std * w)
         G = _scale2d(s, s) @ G
-    if cfg.rotate > 0:
-        w = _bernoulli(keys[7], cfg.rotate * p, (B,))
-        theta = (jax.random.uniform(keys[8], (B,)) * 2 - 1) * math.pi * cfg.rotate_max * w
-        G = _rot2d(-theta) @ G
-    if cfg.aniso > 0:
-        w = _bernoulli(keys[9], cfg.aniso * p, (B,))
-        s = jnp.exp2(jax.random.normal(keys[10], (B,)) * cfg.aniso_std * w)
-        G = _scale2d(s, 1.0 / s) @ G
+    if cfg.rotate > 0 or cfg.aniso > 0:
+        # PRE-rotation -> aniso -> POST-rotation, each rotation applied with
+        # p_rot = 1 - sqrt(1 - rotate*p) so P(any rotation) = rotate*p
+        # (augment.py:235-259); a single rotation would keep the anisotropic
+        # stretch axis-aligned, a narrower transform family.
+        p_rot = 1.0 - jnp.sqrt(jnp.clip(1.0 - cfg.rotate * p, 0.0, 1.0))
+        if cfg.rotate > 0:
+            w = (jax.random.uniform(keys[7], (B,)) < p_rot).astype(jnp.float32)
+            theta = (jax.random.uniform(keys[8], (B,)) * 2 - 1) * math.pi * cfg.rotate_max * w
+            G = _rot2d(-theta) @ G
+        if cfg.aniso > 0:
+            w = _bernoulli(keys[9], cfg.aniso * p, (B,))
+            s = jnp.exp2(jax.random.normal(keys[10], (B,)) * cfg.aniso_std * w)
+            G = _scale2d(s, 1.0 / s) @ G
+        if cfg.rotate > 0:
+            kw, kt = jax.random.split(jax.random.fold_in(keys[7], 1))
+            w = (jax.random.uniform(kw, (B,)) < p_rot).astype(jnp.float32)
+            theta = (jax.random.uniform(kt, (B,)) * 2 - 1) * math.pi * cfg.rotate_max * w
+            G = _rot2d(-theta) @ G
     if cfg.xfrac > 0:
-        w = _bernoulli(keys[11], cfg.xfrac * p, (B, 2))
+        w = _bernoulli(keys[11], cfg.xfrac * p, (B, 1))  # one gate, both axes
         t = jax.random.normal(keys[12], (B, 2)) * cfg.xfrac_std * w
         G = _translate2d(t[:, 0], t[:, 1]) @ G
     return G

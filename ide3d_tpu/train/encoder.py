@@ -145,9 +145,7 @@ def make_encoder_train_step(
         if tcfg.train_real and "img" in batch:
             real_img, real_seg, real_c = batch["img"], batch["seg"], batch["c"]
             rec_ws = e_forward(params_e, real_img, real_seg, g_params)
-            rec_img, rec_raw = G.synthesis(
-                g_params["synthesis"], rec_ws, real_c, return_raw=True
-            )
+            rec_img = G.synthesis(g_params["synthesis"], rec_ws, real_c)
             loss_l2 = L.l2(rec_img, real_img) * tcfg.w_l2
             stats["loss_real_l2"] = loss_l2
             total = total + loss_l2

@@ -209,19 +209,24 @@ def make_gan_train_step(
             "real_signs": jnp.sign(real_logits).mean(),
         }
 
-    def r1_penalty_fn(params_d, batch):
-        """R1 = E||grad_x D(x_real)||^2, differentiated w.r.t. D's params — the
-        double-backward that needed conv2d_gradfix in torch (SURVEY.md §2.2) and is
-        native jax.grad-of-grad here. Computed on clean reals (ADA-free), the
-        stylegan2-ada convention."""
-        real_in = _d_in(_d_triple_real(batch), None, 0.0)
+    def r1_penalty_fn(params_d, batch, ada_key, ada_p):
+        """R1 = E||grad_x D(aug(x_real))||^2, differentiated w.r.t. D's params —
+        the double-backward that needed conv2d_gradfix in torch (SURVEY.md §2.2)
+        and is native jax.grad-of-grad here. The gradient is taken w.r.t. the
+        PRE-augmentation inputs THROUGH the ADA pipe — stylegan2-ada's Dr1
+        branch runs run_D (which augments) on the requires_grad real image, so
+        the penalty regularizes D on the same augmented manifold it is trained
+        on (stylegan2-ada loss.py)."""
         c = batch["c"]
+        triple = _d_triple_real(batch)
 
-        def d_sum(x):
-            return D(params_d, x, c).sum()
+        def d_sum(img, raw_up, seg):
+            real_in = _d_in((img, raw_up, seg), ada_key, ada_p)
+            return D(params_d, real_in, c).sum()
 
-        grad_x = jax.grad(d_sum)(real_in)
-        return jnp.sum(jnp.square(grad_x)) / real_in.shape[0]
+        grads = jax.grad(d_sum, argnums=(0, 1, 2))(*triple)
+        sq = sum(jnp.sum(jnp.square(g)) for g in grads)
+        return sq / triple[0].shape[0]
 
     def pl_penalty_fn(params_g, z, c, rng, pl_mean):
         """StyleGAN2 path-length regularization: ws-jacobian norm of the synthesis
@@ -249,7 +254,7 @@ def make_gan_train_step(
         rng: jax.Array,
         ada_p: jax.Array = 0.0,
     ):
-        kz_g, kz_d, kr_g, kr_d, kr_pl = jax.random.split(rng, 5)
+        kz_g, kz_d, kr_g, kr_d, kr_pl, kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
         z_g = jax.random.normal(kz_g, (B, G.cfg.z_dim))
         z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
@@ -262,7 +267,8 @@ def make_gan_train_step(
         )
 
         def with_r1(grads):
-            r1_val, r1_grads = jax.value_and_grad(r1_penalty_fn)(state.params_d, batch)
+            r1_val, r1_grads = jax.value_and_grad(r1_penalty_fn)(
+                state.params_d, batch, kr_r1, ada_p)
             scale = tcfg.r1_gamma / 2.0 * tcfg.r1_interval
             grads = jax.tree_util.tree_map(lambda g, r: g + scale * r, grads, r1_grads)
             return grads, r1_val

@@ -42,7 +42,11 @@ def _trainable_mask(params_synthesis: dict, freeze_geometry: bool) -> dict:
     def mask_for(name):
         if not freeze_geometry:
             return True
-        return not (name.startswith("vb") or name == "renderer")
+        # everything that shapes the rendered volume counts as geometry: the
+        # vb plane blocks, the renderer decoder, AND the hybrid voxel branch
+        # (generator.py use_feature_volume feeds it straight into the render)
+        return not (name.startswith("vb")
+                    or name in ("renderer", "feature_volume"))
 
     return {k: jax.tree_util.tree_map(lambda _: mask_for(k), v)
             for k, v in params_synthesis.items()}

@@ -90,7 +90,11 @@ def compute_w_stats(
     cs = jnp.broadcast_to(c[:1], (n, c.shape[-1]))
     ws = G.mapping(g_params["mapping"], z, cs, broadcast=False)
     w_avg = ws.mean(axis=0, keepdims=True)
-    w_std = jnp.sqrt(jnp.mean(jnp.square(ws - w_avg)))
+    # sum over ALL elements divided by the SAMPLE count (not jnp.mean over every
+    # element, which would shrink w_std — and with it the exploration-noise
+    # schedule — by sqrt(w_dim) ~ 22.6x): the reference computes
+    # (sum((w - avg)^2) / num_samples) ** 0.5, w_plus_projector_ide3d.py:59.
+    w_std = jnp.sqrt(jnp.sum(jnp.square(ws - w_avg)) / n)
     return w_avg, w_std
 
 
@@ -286,7 +290,10 @@ def locality_loss(
     if cfg.regularizer_l2 > 0:
         loss = loss + cfg.regularizer_l2 * L.l2(old_img, new_img)
     if cfg.regularizer_lpips > 0:
-        loss = loss + cfg.regularizer_lpips * lpips_fn(old_img, new_img)
+        # tuned output FIRST: lpips_fn follows the multiscale_feature_loss
+        # convention of stop-gradienting its second (target) argument, so
+        # (old, new) would zero the gradient into the tuned synthesis params
+        loss = loss + cfg.regularizer_lpips * lpips_fn(new_img, old_img)
     return loss
 
 
@@ -311,9 +318,22 @@ def pivotal_tune(
     """
     key = jax.random.PRNGKey(0) if key is None else key
     w_pivot = jax.lax.stop_gradient(w_pivot)
-    opt = optax.adam(cfg.lr)
     orig_g_params = jax.tree_util.tree_map(jax.lax.stop_gradient, g_params)
     syn_params = g_params["synthesis"]
+    # Tune PARAMETERS only: noise_const buffers stay frozen (the reference's
+    # Adam runs over G.parameters(); noise consts are registered buffers and
+    # keep whatever state the projector left them in, base_coach.py:118).
+    frozen = {tuple(p) for p in noise_buffer_paths(syn_params)}
+
+    def _is_trainable(path_tuple):
+        return path_tuple not in frozen
+
+    def _mask_tree(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: _mask_tree(v, prefix + (k,)) for k, v in tree.items()}
+        return _is_trainable(prefix)
+
+    opt = optax.masked(optax.adam(cfg.lr), _mask_tree(syn_params))
     opt_state = opt.init(syn_params)
 
     if lpips_fn is None:
@@ -327,15 +347,19 @@ def pivotal_tune(
 
     def recon_loss(syn_params, tgt, cc):
         img = G.synthesis(syn_params, w_pivot, cc, noise_mode="const")
-        l2 = L.l2(img, tgt) * cfg.w_l2
-        lp = lpips_fn(img, tgt) * cfg.w_lpips
-        return l2 + lp, lp
+        lp = lpips_fn(img, tgt)
+        loss = L.l2(img, tgt) * cfg.w_l2 + lp * cfg.w_lpips
+        return loss, lp
 
     def loss_fn(syn_params, rng, use_locality):
+        # the aux lp is the UNWEIGHTED MAIN-VIEW LPIPS — the quantity the
+        # reference's early stop compares against LPIPS_value_threshold
+        # (single_id_coach.py:75); join_view adds the mirrored loss but must
+        # not inflate the stopping statistic
         loss, lp = recon_loss(syn_params, target_img, c)
         if cfg.join_view:
-            loss_f, lp_f = recon_loss(syn_params, target_img_flip, c_flip)
-            loss, lp = loss + loss_f, lp + lp_f
+            loss_f, _ = recon_loss(syn_params, target_img_flip, c_flip)
+            loss = loss + loss_f
         if cfg.use_locality:
             loc = locality_loss(
                 G, syn_params, orig_g_params, w_pivot, c, rng, cfg, lpips_fn

@@ -1,6 +1,8 @@
 """Metric suite tests: registry dispatch, FID sanity (identical distributions -> ~0,
 shifted -> >0), KID/PR/PPL/IS smoke on tiny generator + synthetic dataset."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import jax
@@ -203,3 +205,63 @@ def test_generator_features_cond_render_mode():
     stats = compute_feature_stats_for_generator(opts)
     mu, _ = stats.get_mean_cov()
     assert np.isfinite(mu).all()
+
+
+def test_make_detector_factory():
+    """make_detector is the single detector-construction entry point for the
+    CLIs: name dispatch, validation, and deterministic params."""
+    from ide3d_tpu.metrics.features import make_detector
+
+    det, dp = make_detector("pixel")
+    assert isinstance(det, PixelFeatures) and dp == {}
+    det, dp = make_detector("inception")
+    assert isinstance(det, InceptionV3)
+    det, dp = make_detector("vgg16")
+    assert isinstance(det, VGG16Features)
+    # seeded vgg init is deterministic
+    _, dp2 = make_detector("vgg16")
+    a = jax.tree_util.tree_leaves(dp)[0]
+    b = jax.tree_util.tree_leaves(dp2)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        make_detector("vgg")  # typos must not silently fall back
+
+
+def test_gen_detect_program_cache():
+    """The memoized (G -> detector) extraction program: same objects hit the
+    cache (no retrace per metric snapshot), different objects miss, and the
+    LRU stays bounded."""
+    from ide3d_tpu.metrics import metric_utils as mu
+
+    G, _ = tiny_G()
+    det = PixelFeatures()
+    mu._GEN_DETECT_CACHE.clear()
+    fn1 = mu._jitted_gen_detect(G, det, None, False)
+    fn2 = mu._jitted_gen_detect(G, det, None, False)
+    assert fn1 is fn2
+    assert mu._jitted_gen_detect(G, det, None, True) is not fn1
+    for i in range(2 * mu._GEN_DETECT_CACHE_MAX):
+        mu._jitted_gen_detect(G, PixelFeatures(), None, False)
+    assert len(mu._GEN_DETECT_CACHE) <= mu._GEN_DETECT_CACHE_MAX
+    mu._GEN_DETECT_CACHE.clear()
+
+
+def test_dataset_stats_cache_key_includes_dataset_identity(tmp_path):
+    """The real-stats disk cache must distinguish datasets that share a path
+    basename but differ in content/length (e.g. the un-mirrored metrics
+    dataset vs the xflip training loader) — a path-only key would silently
+    serve stale statistics."""
+    from ide3d_tpu.metrics.metric_utils import (
+        _cache_path, compute_feature_stats_for_dataset)
+
+    ds_a = FakeDataset(n=8, res=32, seed=0)
+    ds_b = FakeDataset(n=16, res=32, seed=1)  # same _path, different length
+    opts_a = MetricOptions(dataset=ds_a, detector=pixel_features,
+                           detector_params={}, num_items=8, batch_size=4,
+                           cache_dir=str(tmp_path))
+    opts_b = dataclasses.replace(opts_a, dataset=ds_b, num_items=8)
+    assert _cache_path(opts_a, "dataset", False, True) != \
+        _cache_path(opts_b, "dataset", False, True)
+    mu_a, _ = compute_feature_stats_for_dataset(opts_a).get_mean_cov()
+    mu_b, _ = compute_feature_stats_for_dataset(opts_b).get_mean_cov()
+    assert not np.allclose(mu_a, mu_b)  # cache did not cross-serve
