@@ -42,6 +42,10 @@ def main():
                     default="fps")
     ap.add_argument("--train-batch", type=int, default=4,
                     help="train_step: per-chip batch size")
+    ap.add_argument("--fused", action="store_true",
+                    help="train_step: measure the single-program fused step "
+                         "instead of the split-phase default (measured ~6% "
+                         "slower at the flagship config, PERF.md)")
     ap.add_argument("--chunk", type=int, default=8,
                     help="video_throughput: frames per scanned XLA program")
     ap.add_argument("--blocks", type=int, default=3,
@@ -298,8 +302,9 @@ def bench_video(G, params, args, rp):
 
 
 def bench_train_step(G, args):
-    """Production GAN-training throughput: images/sec of ONE fully-jitted
-    train step (train/gan.py make_gan_train_step) at the flagship config —
+    """Production GAN-training throughput: images/sec of ONE full train step
+    (train/gan.py make_gan_train_step, the split-phase production form;
+    --fused for the single-program variant) at the flagship config —
     512^2 output, 64^2 neural render at the reference 96+96 sampling budget,
     dual-branch seg-conditioned D, ADA in-loss, R1 at its 1/16 duty cycle.
     The step includes D fwd+bwd (incl. a fake-synthesis forward), G fwd+bwd,
@@ -323,7 +328,7 @@ def bench_train_step(G, args):
         img_channels=d_input_channels(tcfg, G.cfg),
     ))
     state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
-    step_fn = make_gan_train_step(G, D, tcfg)
+    step_fn = make_gan_train_step(G, D, tcfg, split=not args.fused)
 
     B = args.train_batch
     R = G.cfg.img_resolution

@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--metric-detector-weights", default=None,
                     help="torch state_dict (.pth) for the metric detector")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused-step", action="store_true",
+                    help="compile the train step as ONE XLA program instead of "
+                         "the split-phase default (measured ~6% slower at full "
+                         "scale; kept for A/B and debugging)")
     ap.add_argument("--preset", choices=["full", "small", "tiny"], default="full",
                     help="tiny = smoke-test scale (CI / CPU); small = 64px "
                          "single-chip validation scale (synthetic-data runs)")
@@ -143,7 +147,11 @@ def main(argv=None):
         start_img = 0
     state = replicate(mesh, state)
 
-    step_fn = make_gan_train_step(G, D, tcfg, mesh=mesh)
+    # split-phase step: two chained XLA programs, measured ~6% faster than the
+    # fused single program at the flagship config (PERF.md); numerically
+    # identical (tests/test_train.py::test_gan_train_step_split_matches_fused)
+    step_fn = make_gan_train_step(G, D, tcfg, mesh=mesh,
+                                  split=not args.fused_step)
     ada = ada_init()
     ada_p = 0.0
     if args.resume:

@@ -10,6 +10,7 @@ from .conv2d_resample import conv2d_resample
 from .modulated_conv import modulated_conv2d
 from .grid_sample import (
     grid_sample_2d,
+    grid_sample_2d_quad,
     grid_sample_3d,
     sample_from_2dgrid,
     sample_from_3dgrid,

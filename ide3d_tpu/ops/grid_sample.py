@@ -75,6 +75,77 @@ def grid_sample_2d(
     return top + (bot - top) * wy
 
 
+def grid_sample_2d_quad(
+    image: jax.Array,  # [B, H, W, C]
+    coords: jax.Array,  # [B, N, 2], (x, y) in [-1, 1]
+    align_corners: bool = False,
+) -> jax.Array:
+    """grid_sample_2d via a 2x2-neighborhood ("quad") table — the DENSE-sampling
+    fast form. Numerically identical to grid_sample_2d (same corner masks, same
+    lerp order); the win is one row gather per point instead of four, and a
+    4x-fewer-rows scatter in the input-gradient transpose.
+
+    Measured at the ADA warp's shape ([4,512,512,25ch], N = H*W): 20 ms fwd /
+    45 ms fwd+input-bwd vs 161/705 ms for the 4-corner form (v5e; the per-row
+    gather cost is width-flat, PERF.md, and XLA's scatter transpose cost is
+    also per-row). Use when N is on the order of H*W; for sparse sampling the
+    [B, H+2, W+2, 4C] table build dominates and grid_sample_2d is the right
+    call. The renderer's tri-plane path uses the same trick
+    (build_triplane_quad_table) with the table cached across passes.
+
+    CONSTRUCTION NOTE (hard-won): the table is built as pad-then-ROLL, not
+    pad-then-four-shifted-SLICES. The slice form ((H+1)-shaped slices of the
+    padded image concatenated on channels) is mathematically identical and
+    fine standalone, but inside the full GAN train-step program it made XLA
+    emit NaNs in values that are FINITE eagerly and finite in every isolated
+    probe (fake logits, R1 input-grads) — the same jit-rewrite NaN class as
+    the round-2 log(1-alpha) incident (render/integration.py). Rolls of the
+    padded image never surface the wrap-around: valid lower corners only read
+    rows whose rolled entries lie in the zero padding, and fully-outside rows
+    are masked."""
+    B, H, W, C = image.shape
+    N = coords.shape[1]
+    x = _unnormalize(coords[..., 0].astype(jnp.float32), W, align_corners)
+    y = _unnormalize(coords[..., 1].astype(jnp.float32), H, align_corners)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None].astype(image.dtype)
+    wy = (y - y0)[..., None].astype(image.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # quad[b, yq, xq] = concat(P[yq,xq], P[yq,xq+1], P[yq+1,xq], P[yq+1,xq+1])
+    # over the zero-padded image P: a sample with lower corner (x0, y0) reads
+    # the single row (y0+1, x0+1).
+    p = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    Hp, Wp = H + 2, W + 2
+    r = jnp.roll(p, -1, axis=2)
+    d = jnp.roll(p, -1, axis=1)
+    dr = jnp.roll(r, -1, axis=1)
+    quad = jnp.concatenate([p, r, d, dr], axis=-1)  # [B, Hp, Wp, 4C]
+
+    # lower corners in [-1, W-1] x [-1, H-1] have their out-of-range corners
+    # covered by the zero padding; anything farther out is all-zeros.
+    inside = (x0i >= -1) & (x0i <= W - 1) & (y0i >= -1) & (y0i <= H - 1)
+    xq = jnp.clip(x0i + 1, 0, W)
+    yq = jnp.clip(y0i + 1, 0, H)
+
+    flat = quad.reshape(B * Hp * Wp, 4 * C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (Hp * Wp))[:, None]
+    idx = base + yq * Wp + xq  # [B, N]
+    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, 4 * C)
+    rows = rows * inside[..., None].astype(image.dtype)
+
+    v00 = rows[..., :C]
+    v01 = rows[..., C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C :]
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
 def grid_sample_3d(
     volume: jax.Array,  # [B, D, H, W, C]
     coords: jax.Array,  # [B, N, 3], (x, y, z) in [-1, 1]; x->W, y->H, z->D

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import grid_sample_2d
+from ..ops.grid_sample import grid_sample_2d_quad
 
 
 @dataclasses.dataclass(frozen=True)
@@ -142,7 +142,12 @@ def _geometry_matrix(
 
 
 def _apply_warp(images: jax.Array, G: jax.Array) -> jax.Array:
-    """Execute the inverse warp once (bilinear, zeros padding)."""
+    """Execute the inverse warp once (bilinear, zeros padding).
+
+    Dense sampling (N == H*W), so the quad-table form of the gather is the fast
+    one — 8x fwd / 16x fwd+input-bwd vs the 4-corner gather at the D-input
+    scale (ops/grid_sample.py grid_sample_2d_quad; the input-gradient transpose
+    is the G-loss/R1 hot path, PERF.md ADA section)."""
     B, H, W, C = images.shape
     Ginv = jnp.linalg.inv(G)
     # pixel centers in align_corners=False convention -> identity matrix == identity warp
@@ -151,7 +156,7 @@ def _apply_warp(images: jax.Array, G: jax.Array) -> jax.Array:
     gx, gy = jnp.meshgrid(xs, ys)
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(1, H * W, 3)
     src = jnp.einsum("bij,bnj->bni", Ginv, jnp.broadcast_to(grid, (B, H * W, 3)))
-    return grid_sample_2d(images, src[..., :2], align_corners=False).reshape(B, H, W, C)
+    return grid_sample_2d_quad(images, src[..., :2], align_corners=False).reshape(B, H, W, C)
 
 
 def _color_matrix(keys, p, cfg: AugmentConfig, B: int) -> jax.Array:

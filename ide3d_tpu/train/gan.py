@@ -117,12 +117,22 @@ def make_gan_train_step(
     D: Discriminator,
     tcfg: GanTrainConfig,
     mesh=None,
+    split: bool = False,
 ):
     """Returns step(state, batch, rng) -> (state, stats).
 
     batch: dict(img [B,R,R,3] in [-1,1], seg [B,R,R,19] one-hot*2-1, c [B,25]).
     If `mesh` is given the step is jitted with batch sharded over 'data' and state
     replicated (single-program multi-chip; XLA handles the grad all-reduce).
+
+    split=True compiles the D phase and the G phase as TWO chained XLA programs
+    instead of one. Semantics are identical (same RNG derivation, same loss
+    closures; tests/test_train.py::test_gan_train_step_split_matches_fused).
+    Measured on v5e at the flagship config: 2.09 vs 1.97 imgs/s (~6% — the
+    scheduling pathology PERF.md documents for the fused inference frame is
+    much smaller here), plus per-phase compiled programs exposed for profiling
+    (step.d_jit / step.g_jit). Dispatches pipeline on device, so the host
+    boundary adds no synchronization.
     """
     opt_g, opt_d = make_optimizers(tcfg)
 
@@ -248,27 +258,25 @@ def make_gan_train_step(
         penalty = jnp.mean(jnp.square(pl_lengths - pl_mean))
         return penalty, pl_lengths.mean()
 
-    def step(
-        state: GanTrainState,
-        batch: Dict[str, jax.Array],
-        rng: jax.Array,
-        ada_p: jax.Array = 0.0,
-    ):
-        kz_g, kz_d, kr_g, kr_d, kr_pl, kr_r1 = jax.random.split(rng, 6)
+    # --- phase bodies. BOTH phases derive their keys from the SAME 6-way split
+    # of the step rng, so fused and split execution are bit-identical.
+
+    def d_phase(params_d, opt_d_state, step_i, params_g, batch, rng, ada_p):
+        """D update: loss grads + lazy R1 + Adam. Returns (params_d, opt_d, stats)."""
+        _kz_g, kz_d, _kr_g, kr_d, _kr_pl, kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
-        z_g = jax.random.normal(kz_g, (B, G.cfg.z_dim))
         z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
         ada_p = jnp.asarray(ada_p, jnp.float32)
 
-        # --- D step with lazy R1 (full-strength penalty every r1_interval steps,
-        # StyleGAN2 lazy regularization; both cond branches compile once).
+        # lazy R1: full-strength penalty every r1_interval steps (StyleGAN2
+        # lazy regularization; both cond branches compile once).
         (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            state.params_d, state.params_g, batch, z_d, kr_d, ada_p
+            params_d, params_g, batch, z_d, kr_d, ada_p
         )
 
         def with_r1(grads):
             r1_val, r1_grads = jax.value_and_grad(r1_penalty_fn)(
-                state.params_d, batch, kr_r1, ada_p)
+                params_d, batch, kr_r1, ada_p)
             scale = tcfg.r1_gamma / 2.0 * tcfg.r1_interval
             grads = jax.tree_util.tree_map(lambda g, r: g + scale * r, grads, r1_grads)
             return grads, r1_val
@@ -276,27 +284,37 @@ def make_gan_train_step(
         def without_r1(grads):
             return grads, jnp.zeros(())
 
-        apply_r1 = (state.step % tcfg.r1_interval) == 0
+        apply_r1 = (step_i % tcfg.r1_interval) == 0
         d_grads, r1_val = jax.lax.cond(apply_r1, with_r1, without_r1, d_grads)
         d_stats = {**d_stats, "r1_penalty": r1_val}
 
-        updates_d, opt_d_state = opt_d.update(d_grads, state.opt_d, state.params_d)
-        params_d = optax.apply_updates(state.params_d, updates_d)
+        updates_d, opt_d_state = opt_d.update(d_grads, opt_d_state, params_d)
+        params_d = optax.apply_updates(params_d, updates_d)
+        return params_d, opt_d_state, d_stats
 
-        # --- G step
+    def g_phase(params_g, opt_g_state, ema, pl_mean, step_i, params_d, batch,
+                rng, ada_p):
+        """G update vs the UPDATED D, + lazy PL reg, w_avg EMA, G_ema.
+
+        Returns (params_g, opt_g, ema, pl_mean, stats)."""
+        kz_g, _kz_d, kr_g, _kr_d, kr_pl, _kr_r1 = jax.random.split(rng, 6)
+        B = batch["img"].shape[0]
+        z_g = jax.random.normal(kz_g, (B, G.cfg.z_dim))
+        ada_p = jnp.asarray(ada_p, jnp.float32)
+
         (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_g, params_d, z_g, batch["c"], kr_g, ada_p
+            params_g, params_d, z_g, batch["c"], kr_g, ada_p
         )
 
         # --- lazy path-length regularization (StyleGAN2; off when pl_weight == 0)
-        pl_mean = jnp.asarray(state.pl_mean, jnp.float32)
+        pl_mean = jnp.asarray(pl_mean, jnp.float32)
         if tcfg.pl_weight > 0:
 
             def with_pl(args):
                 grads, pl_mean_in = args
                 (pl_val, pl_len), pl_grads = jax.value_and_grad(
                     pl_penalty_fn, has_aux=True
-                )(state.params_g, z_g, batch["c"], kr_pl, pl_mean_in)
+                )(params_g, z_g, batch["c"], kr_pl, pl_mean_in)
                 scale = tcfg.pl_weight * tcfg.pl_interval
                 grads = jax.tree_util.tree_map(
                     lambda g, r: g + scale * r, grads, pl_grads
@@ -308,32 +326,46 @@ def make_gan_train_step(
                 grads, pl_mean_in = args
                 return grads, jnp.zeros(()), pl_mean_in
 
-            apply_pl = (state.step % tcfg.pl_interval) == 0
+            apply_pl = (step_i % tcfg.pl_interval) == 0
             g_grads, pl_val, pl_mean = jax.lax.cond(
                 apply_pl, with_pl, without_pl, (g_grads, pl_mean)
             )
             g_stats = {**g_stats, "pl_penalty": pl_val}
 
-        updates_g, opt_g_state = opt_g.update(g_grads, state.opt_g, state.params_g)
-        params_g = optax.apply_updates(state.params_g, updates_g)
+        updates_g, opt_g_state = opt_g.update(g_grads, opt_g_state, params_g)
+        new_params_g = optax.apply_updates(params_g, updates_g)
 
         # --- w_avg EMA (functional replacement of the mapping buffer update,
         # networks.py:307-310; needed for truncation at inference time)
-        w_batch = G.mapping(params_g["mapping"], z_g, batch["c"], broadcast=False)
+        w_batch = G.mapping(new_params_g["mapping"], z_g, batch["c"], broadcast=False)
         new_w_avg = jax.lax.stop_gradient(w_batch.mean(axis=0)) * (
             1.0 - tcfg.w_avg_beta
-        ) + params_g["mapping"]["w_avg"] * tcfg.w_avg_beta
-        params_g = {
-            **params_g,
-            "mapping": {**params_g["mapping"], "w_avg": new_w_avg},
+        ) + new_params_g["mapping"]["w_avg"] * tcfg.w_avg_beta
+        new_params_g = {
+            **new_params_g,
+            "mapping": {**new_params_g["mapping"], "w_avg": new_w_avg},
         }
 
         # --- EMA
         ema = jax.tree_util.tree_map(
             lambda e, p: e * tcfg.ema_beta + p * (1.0 - tcfg.ema_beta),
-            state.params_g_ema,
-            params_g,
+            ema,
+            new_params_g,
         )
+        return new_params_g, opt_g_state, ema, pl_mean, g_stats
+
+    def step(
+        state: GanTrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        ada_p: jax.Array = 0.0,
+    ):
+        params_d, opt_d_state, d_stats = d_phase(
+            state.params_d, state.opt_d, state.step, state.params_g, batch,
+            rng, ada_p)
+        params_g, opt_g_state, ema, pl_mean, g_stats = g_phase(
+            state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
+            state.step, params_d, batch, rng, ada_p)
 
         stats = {**d_stats, **g_stats}
         new_state = GanTrainState(
@@ -347,19 +379,78 @@ def make_gan_train_step(
         )
         return new_state, stats
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    repl = NamedSharding(mesh, P())
-    # batch dim sharded over EVERY mesh axis: identical on the 1-D 'data'
-    # mesh, and on a ('slice', 'data') multi-slice mesh the grad all-reduce
-    # decomposes into ICI + DCN stages (parallel/mesh.py dp_spec)
-    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
-    return jax.jit(
-        step,
-        in_shardings=(repl, data, repl, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        # batch dim sharded over EVERY mesh axis: identical on the 1-D 'data'
+        # mesh, and on a ('slice', 'data') multi-slice mesh the grad all-reduce
+        # decomposes into ICI + DCN stages (parallel/mesh.py dp_spec)
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+    if not split:
+        if mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(
+            step,
+            in_shardings=(repl, data, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    # --- split compilation: one program per phase, chained by the host. The
+    # device executes programs in dispatch order, so d_jit has finished reading
+    # params_g before g_jit (which donates it) runs; no extra synchronization.
+    # step_i is passed to both programs and incremented on device in g_jit's
+    # tail (avoiding a per-step eager scalar op, which is a full dispatch on
+    # the tunneled backend).
+    def g_phase_inc(params_g, opt_g_state, ema, pl_mean, step_i, params_d,
+                    batch, rng, ada_p):
+        out = g_phase(params_g, opt_g_state, ema, pl_mean, step_i, params_d,
+                      batch, rng, ada_p)
+        return out + (step_i + 1,)
+
+    if mesh is None:
+        d_jit = jax.jit(d_phase, donate_argnums=(0, 1))
+        g_jit = jax.jit(g_phase_inc, donate_argnums=(0, 1, 2, 3))
+    else:
+        d_jit = jax.jit(
+            d_phase,
+            in_shardings=(repl, repl, repl, repl, data, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        g_jit = jax.jit(
+            g_phase_inc,
+            in_shardings=(repl, repl, repl, repl, repl, repl, data, repl, repl),
+            out_shardings=(repl, repl, repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
+    def step_split(
+        state: GanTrainState,
+        batch: Dict[str, jax.Array],
+        rng: jax.Array,
+        ada_p: jax.Array = 0.0,
+    ):
+        params_d, opt_d_state, d_stats = d_jit(
+            state.params_d, state.opt_d, state.step, state.params_g, batch,
+            rng, ada_p)
+        params_g, opt_g_state, ema, pl_mean, g_stats, new_step = g_jit(
+            state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
+            state.step, params_d, batch, rng, ada_p)
+        new_state = GanTrainState(
+            step=new_step,
+            params_g=params_g,
+            params_d=params_d,
+            params_g_ema=ema,
+            opt_g=opt_g_state,
+            opt_d=opt_d_state,
+            pl_mean=pl_mean,
+        )
+        return new_state, {**d_stats, **g_stats}
+
+    # expose the compiled phases for profiling (tools/profile_train_step.py)
+    step_split.d_jit = d_jit
+    step_split.g_jit = g_jit
+    return step_split

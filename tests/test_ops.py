@@ -11,6 +11,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from ide3d_tpu import ops
@@ -289,6 +290,34 @@ def test_grid_sample_2d_matches_torch(rng, align_corners):
     )  # [B, C, N, 1]
     want = want[..., 0].permute(0, 2, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_2d_quad_matches_plain(rng, align_corners):
+    """The dense-sampling quad-table form (used by the ADA warp) must be
+    EXACTLY the 4-corner form — same zeros padding, same lerp order — for
+    values AND input gradients, including far-out-of-range coords."""
+    B, H, W, C, N = 2, 7, 9, 4, 60
+    img = rng.randn(B, H, W, C).astype(np.float32)
+    coords = (rng.rand(B, N, 2).astype(np.float32) * 4.0 - 2.0)  # far out-of-range too
+
+    got = np.asarray(ops.grid_sample_2d_quad(
+        jnp.asarray(img), jnp.asarray(coords), align_corners=align_corners))
+    want = np.asarray(ops.grid_sample_2d(
+        jnp.asarray(img), jnp.asarray(coords), align_corners=align_corners))
+    np.testing.assert_array_equal(got, want)
+
+    def loss_quad(im):
+        return jnp.sum(ops.grid_sample_2d_quad(
+            im, jnp.asarray(coords), align_corners=align_corners) ** 2)
+
+    def loss_plain(im):
+        return jnp.sum(ops.grid_sample_2d(
+            im, jnp.asarray(coords), align_corners=align_corners) ** 2)
+
+    g_quad = np.asarray(jax.grad(loss_quad)(jnp.asarray(img)))
+    g_plain = np.asarray(jax.grad(loss_plain)(jnp.asarray(img)))
+    np.testing.assert_allclose(g_quad, g_plain, atol=1e-6, rtol=1e-6)
 
 
 @pytest.mark.parametrize("align_corners", [True, False])
