@@ -352,15 +352,30 @@ def make_detector(name: str, weights: "str | None" = None, seed: int = 0):
     'vgg16' (PPL/PR detector). `weights` is an optional torch state_dict path;
     without it, inception uses its deterministic init and vgg16 a seeded
     random init (relative-tracking only — the CLIs warn)."""
+    def _stamp(det, prov):
+        # Provenance rides on the detector object (frozen dataclass fields stay
+        # hash/eq keys for jit) and is stamped into every JSONL metric record
+        # (metric_main.calc_metric) — scores from random-init detectors must
+        # never read as Inception-comparable downstream.
+        import os
+
+        object.__setattr__(det, "provenance", {
+            "detector": name,
+            "weights": os.path.abspath(weights) if weights else None,
+            "source": prov,
+        })
+        return det
+
     if name == "pixel":
-        return PixelFeatures(), {}
+        return _stamp(PixelFeatures(), "weightless-pixel"), {}
     if name not in ("inception", "vgg16"):
         raise ValueError(f"unknown detector {name!r} (pixel | inception | vgg16)")
     det = InceptionV3() if name == "inception" else VGG16Features()
     if weights:
         from ..io.torch_import import load_torch_state_dict, state_dict_to_tree
 
-        return det, state_dict_to_tree(load_torch_state_dict(weights))
+        return _stamp(det, "torch-weights"), state_dict_to_tree(
+            load_torch_state_dict(weights))
     if name == "inception":
-        return det, det.init()
-    return det, det.init(jax.random.PRNGKey(seed))
+        return _stamp(det, "random-init(deterministic)"), det.init()
+    return _stamp(det, f"random-init(seed={seed})"), det.init(jax.random.PRNGKey(seed))

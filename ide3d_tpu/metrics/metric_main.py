@@ -44,6 +44,12 @@ def calc_metric(metric: str, run_dir: str = None, **kwargs) -> dict:
         "metric": metric,
         "total_time": total_time,
         "num_items": opts.num_items,
+        # detector-weights provenance (VERDICT r2 weak #3): random-init
+        # detector scores are relative-tracking only and must say so in the
+        # persisted record, not just in a CLI warning.
+        "detector": getattr(opts.detector, "provenance",
+                            {"detector": type(opts.detector).__name__,
+                             "weights": None, "source": "unknown"}),
     }
     if run_dir is not None:
         os.makedirs(run_dir, exist_ok=True)
@@ -104,3 +110,68 @@ def inception_score(opts: MetricOptions):
 
     mean, std = compute_is(opts)
     return {"is_mean": mean, "is_std": std}
+
+
+# ------------------------------------------------- reference 50k-scale presets
+# Named presets with the reference's exact num_gen/max_real semantics
+# (metrics/metric_main.py:86-148): fid50k_full measures generator stats on 50k
+# samples against the FULL dataset's real stats; kid/pr cap real items at
+# 1M/200k. The parameterized metrics above remain for custom budgets.
+
+
+@register_metric
+def fid50k_full(opts: MetricOptions):
+    from .frechet_inception_distance import compute_fid
+
+    opts.num_items, opts.max_real = 50000, None
+    return {"fid50k_full": compute_fid(opts)}
+
+
+@register_metric
+def kid50k_full(opts: MetricOptions):
+    from .kernel_inception_distance import compute_kid
+
+    opts.num_items, opts.max_real = 50000, 1000000
+    return {"kid50k_full": compute_kid(opts)}
+
+
+@register_metric
+def pr50k3_full(opts: MetricOptions):
+    from .precision_recall import compute_pr
+
+    opts.num_items, opts.max_real = 50000, 200000
+    precision, recall = compute_pr(opts, nhood_size=3)
+    return {"pr50k3_full_precision": precision, "pr50k3_full_recall": recall}
+
+
+@register_metric
+def eqt50k_int(opts: MetricOptions):
+    from .equivariance import compute_eqt
+
+    opts.num_items = 50000
+    return {"eqt50k_int_psnr_db": compute_eqt(opts, shift_px=8)}
+
+
+@register_metric
+def eqt50k_frac(opts: MetricOptions):
+    from .equivariance import compute_eqt
+
+    opts.num_items = 50000
+    return {"eqt50k_frac_psnr_db": compute_eqt(opts, shift_px=1)}
+
+
+@register_metric
+def eqr50k(opts: MetricOptions):
+    from .equivariance import compute_eqr
+
+    opts.num_items = 50000
+    return {"eqr50k_psnr_db": compute_eqr(opts)}
+
+
+@register_metric
+def is50k(opts: MetricOptions):
+    from .inception_score import compute_is
+
+    opts.num_items, opts.max_real = 50000, None
+    mean, std = compute_is(opts)
+    return {"is50k_mean": mean, "is50k_std": std}

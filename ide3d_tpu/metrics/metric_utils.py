@@ -101,6 +101,10 @@ class MetricOptions:
     detector: object = None  # FeatureExtractor
     detector_params: dict = None
     num_items: int = 1000
+    # Real-side stat cap (reference max_real, metric_main.py:86-148): -1 =
+    # follow num_items (back-compat default), None = the FULL dataset
+    # (fid50k_full semantics), int = explicit cap (kid/pr presets).
+    max_real: Optional[int] = -1
     batch_size: int = 8
     cache_dir: Optional[str] = None
     seed: int = 0
@@ -122,7 +126,8 @@ def _cache_path(opts: MetricOptions, tag: str,
     # capture flags are part of the key: a mean/cov-only cache entry (FID)
     # cannot serve a raw-feature-bank consumer (KID/PR) — get_all() on it
     # would assert
-    key = (f"{tag}-{type(opts.detector).__name__}-{opts.num_items}"
+    n_key = _resolved_max_real(opts) if tag == "dataset" else opts.num_items
+    key = (f"{tag}-{type(opts.detector).__name__}-{n_key}"
            f"-{int(capture_all)}{int(capture_mean_cov)}")
     if opts.dataset is not None:
         # dataset IDENTITY is part of the key: the same path loaded with
@@ -144,6 +149,14 @@ def _cache_path(opts: MetricOptions, tag: str,
     return os.path.join(opts.cache_dir, f"stats-{h}.pkl")
 
 
+def _resolved_max_real(opts: MetricOptions) -> Optional[int]:
+    """Real-side item cap: the reference's max_real semantics
+    (metrics/metric_utils.py:216, metric_main.py:86-148)."""
+    if opts.max_real == -1:
+        return opts.num_items
+    return opts.max_real  # None = full dataset
+
+
 def compute_feature_stats_for_dataset(
     opts: MetricOptions, capture_all=False, capture_mean_cov=True
 ) -> FeatureStats:
@@ -151,10 +164,11 @@ def compute_feature_stats_for_dataset(
     if cache and os.path.exists(cache):
         return FeatureStats.load(cache)
 
-    stats = FeatureStats(capture_all, capture_mean_cov, max_items=opts.num_items)
+    cap = _resolved_max_real(opts)
+    stats = FeatureStats(capture_all, capture_mean_cov, max_items=cap)
     det = jax.jit(lambda p, x: opts.detector(p, x))
     B = opts.batch_size
-    n = min(len(opts.dataset), opts.num_items)
+    n = len(opts.dataset) if cap is None else min(len(opts.dataset), cap)
     i = 0
     while not stats.is_full() and i < n:
         imgs = []

@@ -265,3 +265,84 @@ def test_dataset_stats_cache_key_includes_dataset_identity(tmp_path):
     mu_a, _ = compute_feature_stats_for_dataset(opts_a).get_mean_cov()
     mu_b, _ = compute_feature_stats_for_dataset(opts_b).get_mean_cov()
     assert not np.allclose(mu_a, mu_b)  # cache did not cross-serve
+
+
+# ------------------------------------------------- 50k presets + provenance
+
+
+def test_50k_presets_registered():
+    """Reference metric names (metrics/metric_main.py:86-148) must resolve."""
+    assert {"fid50k_full", "kid50k_full", "pr50k3_full", "ppl2_wend",
+            "eqt50k_int", "eqt50k_frac", "eqr50k", "is50k"} <= set(list_metrics())
+
+
+def test_fid50k_full_max_real_semantics(monkeypatch):
+    """fid50k_full = 50k generator items vs the FULL dataset's real stats
+    (max_real=None); kid/pr cap real items (reference metric_main.py:92,98)."""
+    import ide3d_tpu.metrics.frechet_inception_distance as fid_mod
+    import ide3d_tpu.metrics.kernel_inception_distance as kid_mod
+    import ide3d_tpu.metrics.precision_recall as pr_mod
+
+    seen = {}
+    monkeypatch.setattr(fid_mod, "compute_fid",
+                        lambda opts: seen.setdefault("fid", (opts.num_items, opts.max_real)) and 1.0)
+    monkeypatch.setattr(kid_mod, "compute_kid",
+                        lambda opts: seen.setdefault("kid", (opts.num_items, opts.max_real)) and 1.0)
+    monkeypatch.setattr(pr_mod, "compute_pr",
+                        lambda opts, nhood_size: (seen.setdefault("pr", (opts.num_items, opts.max_real, nhood_size)), (0.5, 0.5))[1])
+    rec = calc_metric("fid50k_full", detector=pixel_features, detector_params={})
+    assert seen["fid"] == (50000, None)
+    assert rec["results"]["fid50k_full"] == 1.0
+    calc_metric("kid50k_full", detector=pixel_features, detector_params={})
+    assert seen["kid"] == (50000, 1000000)
+    calc_metric("pr50k3_full", detector=pixel_features, detector_params={})
+    assert seen["pr"] == (50000, 200000, 3)
+
+
+def test_max_real_dataset_cap(tmp_path):
+    """max_real=None extracts the FULL dataset regardless of num_items; an int
+    caps it; -1 (default) follows num_items. Cache keys track the real cap."""
+    from ide3d_tpu.metrics.metric_utils import (
+        _cache_path, compute_feature_stats_for_dataset)
+
+    ds = FakeDataset(n=24, res=32)
+    base = dict(dataset=ds, detector=pixel_features, detector_params={},
+                num_items=8, batch_size=4)
+    st_default = compute_feature_stats_for_dataset(MetricOptions(**base))
+    assert st_default.num_items == 8
+    st_full = compute_feature_stats_for_dataset(MetricOptions(max_real=None, **base))
+    assert st_full.num_items == 24
+    st_cap = compute_feature_stats_for_dataset(MetricOptions(max_real=16, **base))
+    assert st_cap.num_items == 16
+    # distinct cache entries per real-side cap (same num_items)
+    paths = {
+        _cache_path(MetricOptions(cache_dir=str(tmp_path), **base), "dataset", False, True),
+        _cache_path(MetricOptions(cache_dir=str(tmp_path), max_real=None, **base), "dataset", False, True),
+        _cache_path(MetricOptions(cache_dir=str(tmp_path), max_real=16, **base), "dataset", False, True),
+    }
+    assert len(paths) == 3
+
+
+def test_detector_provenance_stamped_in_record(tmp_path):
+    """Every persisted metric record carries the detector-weights provenance
+    (random-init scores must never read as Inception-comparable)."""
+    import json
+
+    from ide3d_tpu.metrics.features import make_detector
+
+    det, dp = make_detector("pixel")
+    assert det.provenance["source"] == "weightless-pixel"
+    det_v, _ = make_detector("vgg16")
+    assert det_v.provenance["source"].startswith("random-init")
+    det_i, _ = make_detector("inception")
+    assert det_i.provenance["detector"] == "inception"
+    assert det_i.provenance["weights"] is None
+
+    G, params = tiny_G()
+    ds = FakeDataset(n=8, res=32)
+    rec = calc_metric("fid", run_dir=str(tmp_path), G=G, g_params=params,
+                      dataset=ds, detector=det, detector_params=dp,
+                      num_items=8, batch_size=4)
+    assert rec["detector"]["source"] == "weightless-pixel"
+    line = json.loads((tmp_path / "metric-fid.jsonl").read_text().splitlines()[-1])
+    assert line["detector"]["detector"] == "pixel"
