@@ -11,10 +11,20 @@ lives in `AdaState.update`.
 TPU design: every augmentation is branch-free — transforms are always computed and
 blended by Bernoulli masks, so one XLA program covers all probability settings;
 geometry composes into a single 3x3 per-image matrix executed by ONE bilinear warp
-(ops/grid_sample.py), colors into a single 4x4 matrix -> one einsum. The reference's
-wavelet-based anti-aliasing for large rotations is intentionally replaced by
-bilinear resampling (documented deviation; the FFHQ config 'bgc' uses blit+geom+color
-where the difference is minor).
+(ops/grid_sample.py), colors into a single 4x4 matrix -> one einsum.
+
+Anti-aliasing: the reference wraps the geometric warp in sym6-wavelet up/down
+filtering (training/augment.py:172,280-306). Both execution forms are provided
+here — `AugmentConfig.wavelet_aa=True` reproduces that pipeline (reflect pad ->
+2x sym6 upsample -> bilinear warp at 2x -> sym6 downsample with crop; the
+orthogonal wavelet makes up-then-down an exact identity in the interior), while
+the default executes one plain bilinear warp at 1x (~4x cheaper; the warp sits
+inside the jitted GAN losses and its input-gradient is a training hot path,
+PERF.md ADA section). One deliberate static-shape deviation under jit: the
+reference computes per-batch reflect margins from the transformed corners
+(augment.py:276-288, clamped to width-1); here the margin is a static
+`wavelet_margin` fraction of the image (+ filter support), beyond which samples
+fall to zeros exactly like the bilinear path.
 """
 
 from __future__ import annotations
@@ -28,6 +38,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.grid_sample import grid_sample_2d_quad
+from ..ops.upfirdn2d import downsample2d, setup_filter, upsample2d
+
+# Orthogonal wavelet decomposition low-pass (public sym6 coefficients; the
+# reference registers setup_filter(wavelets['sym6']) as Hz_geom,
+# training/augment.py:172).
+WAVELET_SYM6 = (
+    0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+    -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+    0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+    0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +77,13 @@ class AugmentConfig:
     saturation_std: float = 1.0
     cutout: float = 0.0
     cutout_size: float = 0.5
+    # Reference-parity wavelet anti-aliasing around the geometric warp
+    # (training/augment.py:280-306). Off by default: the 2x-resolution warp
+    # multiplies the in-loss augmentation cost ~4x (PERF.md measures the A/B).
+    wavelet_aa: bool = False
+    # Static reflect-pad margin as a fraction of image width (replaces the
+    # reference's dynamic per-batch corner margin, clamped there to width-1).
+    wavelet_margin: float = 0.125
 
 
 def _bernoulli(key, p, shape):
@@ -141,22 +169,69 @@ def _geometry_matrix(
     return G
 
 
-def _apply_warp(images: jax.Array, G: jax.Array) -> jax.Array:
-    """Execute the inverse warp once (bilinear, zeros padding).
+def _sample_affine(images: jax.Array, A: jax.Array, Ho: int, Wo: int) -> jax.Array:
+    """Bilinear-sample `images` on an [Ho,Wo] output grid through the per-image
+    inverse matrix A (output normalized coords -> input normalized coords,
+    align_corners=False, zeros padding).
 
-    Dense sampling (N == H*W), so the quad-table form of the gather is the fast
-    one — 8x fwd / 16x fwd+input-bwd vs the 4-corner gather at the D-input
+    Dense sampling (N == Ho*Wo), so the quad-table form of the gather is the
+    fast one — 8x fwd / 16x fwd+input-bwd vs the 4-corner gather at the D-input
     scale (ops/grid_sample.py grid_sample_2d_quad; the input-gradient transpose
     is the G-loss/R1 hot path, PERF.md ADA section)."""
+    B = images.shape[0]
+    ys = (jnp.arange(Ho) * 2.0 + 1.0) / Ho - 1.0
+    xs = (jnp.arange(Wo) * 2.0 + 1.0) / Wo - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(1, Ho * Wo, 3)
+    src = jnp.einsum("bij,bnj->bni", A, jnp.broadcast_to(grid, (B, Ho * Wo, 3)))
+    out = grid_sample_2d_quad(images, src[..., :2], align_corners=False)
+    return out.reshape(B, Ho, Wo, images.shape[-1])
+
+
+def _apply_warp(images: jax.Array, G: jax.Array,
+                cfg: Optional[AugmentConfig] = None) -> jax.Array:
+    """Execute the inverse warp once (bilinear, zeros padding); with
+    cfg.wavelet_aa, wrap it in the reference's sym6 up/down filtering."""
     B, H, W, C = images.shape
     Ginv = jnp.linalg.inv(G)
-    # pixel centers in align_corners=False convention -> identity matrix == identity warp
-    ys = (jnp.arange(H) * 2.0 + 1.0) / H - 1.0
-    xs = (jnp.arange(W) * 2.0 + 1.0) / W - 1.0
-    gx, gy = jnp.meshgrid(xs, ys)
-    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(1, H * W, 3)
-    src = jnp.einsum("bij,bnj->bni", Ginv, jnp.broadcast_to(grid, (B, H * W, 3)))
-    return grid_sample_2d_quad(images, src[..., :2], align_corners=False).reshape(B, H, W, C)
+    if cfg is not None and cfg.wavelet_aa:
+        return _apply_warp_wavelet(images, Ginv, cfg)
+    return _sample_affine(images, Ginv, H, W)
+
+
+def _apply_warp_wavelet(images: jax.Array, Ginv: jax.Array,
+                        cfg: AugmentConfig) -> jax.Array:
+    """Reference AA execution (training/augment.py:276-306): reflect pad,
+    2x sym6 upsample, bilinear warp on the [(H+2*hz)*2] grid, sym6 downsample
+    with a crop back to HxW. All matrix adjustments follow the reference's
+    centered-pixel algebra; `Ginv` arrives in the [-1,1] normalized coordinates
+    _geometry_matrix uses, so it is conjugated into centered pixels first."""
+    B, H, W, C = images.shape
+    f = setup_filter(WAVELET_SYM6)
+    hz = len(WAVELET_SYM6) // 4  # Hz_pad (augment.py:277)
+    m = int(np.ceil(cfg.wavelet_margin * max(H, W))) + 2 * hz
+    m = min(m, min(H, W) - 1)  # reflect-pad limit == the reference's clamp
+    x = jnp.pad(images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
+    x = upsample2d(x, f, up=2)  # [(H+2m)*2, (W+2m)*2]
+
+    def diag3(a, b):
+        return jnp.diag(jnp.asarray([a, b, 1.0], jnp.float32))[None]
+
+    # normalized -> centered-pixel conjugation on the original HxW grid
+    # (align_corners=False: x_norm = x_centered_px * 2/W)
+    Ginv = diag3(W / 2.0, H / 2.0) @ Ginv @ diag3(2.0 / W, 2.0 / H)
+    # upsample adjustment (augment.py:295-297): scale then half-pixel shift
+    Ginv = diag3(2.0, 2.0) @ Ginv @ diag3(0.5, 0.5)
+    t = jnp.full((1,), -0.5, jnp.float32)
+    Tm = _translate2d(t, t)
+    Ginv = Tm @ Ginv @ _translate2d(-t, -t)
+    # execute on the [(H+2*hz)*2] output grid vs the padded upsampled input
+    Ho, Wo = (H + 2 * hz) * 2, (W + 2 * hz) * 2
+    Hi, Wi = x.shape[1], x.shape[2]
+    A = diag3(2.0 / Wi, 2.0 / Hi) @ Ginv @ diag3(Wo / 2.0, Ho / 2.0)
+    y = _sample_affine(x, A, Ho, Wo)
+    # downsample and crop (augment.py:306)
+    return downsample2d(y, f, down=2, padding=-hz * 2, flip_filter=True)
 
 
 def _color_matrix(keys, p, cfg: AugmentConfig, B: int) -> jax.Array:
@@ -232,7 +307,7 @@ def augment_pipe(
     """Apply the ADA pipe at probability p (contract: training/augment.py:186-420)."""
     B, H, W, C = images.shape
     keys = jax.random.split(key, 16)
-    images = _apply_warp(images, _geometry_matrix(keys, p, cfg, B, W, H))
+    images = _apply_warp(images, _geometry_matrix(keys, p, cfg, B, W, H), cfg)
     if C == 3:
         images = _apply_color(images, _color_matrix(keys, p, cfg, B))
     if cfg.cutout > 0:
@@ -262,7 +337,7 @@ def augment_d_input(
     keys = jax.random.split(key, 16)
     G = _geometry_matrix(keys, p, cfg, B, W, H)
     stack = jnp.concatenate([img, img_raw, seg], axis=-1)
-    stack = _apply_warp(stack, G)
+    stack = _apply_warp(stack, G, cfg)
     img, img_raw, seg = stack[..., :3], stack[..., 3:6], stack[..., 6:]
     Cm = _color_matrix(keys, p, cfg, B)
     img = _apply_color(img, Cm)

@@ -57,6 +57,16 @@ class GanTrainConfig:
     pl_weight: float = 0.0
     pl_interval: int = 4
     pl_decay: float = 0.01
+    # G-first phase order with fake reuse: run the G update first (vs the
+    # pre-step D, the stylegan2-ada phase order Gmain->Dmain), keep the fakes it
+    # synthesized (stop-gradient, PRE-augmentation), and feed them to the D
+    # update instead of synthesizing a second independent batch. Eliminates one
+    # full G forward per step (the D phase's synth_fake). The D update then
+    # scores the same z-batch the G update pushed on — the classic
+    # one-z-per-step GAN schedule; ADA still draws independent augmentation
+    # keys per loss. Semantics intentionally differ from fake_reuse=False
+    # (which matches D-first + fresh z); both orders are standard.
+    fake_reuse: bool = True
 
 
 class GanTrainState(NamedTuple):
@@ -198,16 +208,24 @@ def make_gan_train_step(
     def g_loss_fn(params_g, params_d, z, c, rng, ada_p):
         k_synth, k_aug = jax.random.split(rng)
         out = synth_fake(params_g, z, c, k_synth)
-        d_in = _d_in(_d_triple_fake(out), k_aug, ada_p)
+        triple = _d_triple_fake(out)
+        d_in = _d_in(triple, k_aug, ada_p)
         logits = D(params_d, d_in, c)
         loss = jnp.mean(jax.nn.softplus(-logits))
-        return loss, {"loss_g": loss, "fake_logits": logits.mean()}
+        aux = {"loss_g": loss, "fake_logits": logits.mean()}
+        if tcfg.fake_reuse:
+            # hand the PRE-augmentation fakes to the D phase (stop-gradient:
+            # they are constants w.r.t. both updates there)
+            aux["_fake_triple"] = jax.lax.stop_gradient(triple)
+        return loss, aux
 
-    def d_loss_fn(params_d, params_g, batch, z, rng, ada_p):
+    def d_loss_fn(params_d, params_g, batch, z, rng, ada_p, fake_triple=None):
         c = batch["c"]
         k_synth, k_aug_f, k_aug_r = jax.random.split(rng, 3)
-        out = synth_fake(params_g, z, c, k_synth)
-        fake_in = _d_in(_d_triple_fake(out), k_aug_f, ada_p)
+        if fake_triple is None:
+            out = synth_fake(params_g, z, c, k_synth)
+            fake_triple = _d_triple_fake(out)
+        fake_in = _d_in(fake_triple, k_aug_f, ada_p)
         fake_logits = D(params_d, jax.lax.stop_gradient(fake_in), c)
         real_logits = D(params_d, _d_in(_d_triple_real(batch), k_aug_r, ada_p), c)
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(jax.nn.softplus(-real_logits))
@@ -261,8 +279,12 @@ def make_gan_train_step(
     # --- phase bodies. BOTH phases derive their keys from the SAME 6-way split
     # of the step rng, so fused and split execution are bit-identical.
 
-    def d_phase(params_d, opt_d_state, step_i, params_g, batch, rng, ada_p):
-        """D update: loss grads + lazy R1 + Adam. Returns (params_d, opt_d, stats)."""
+    def d_phase(params_d, opt_d_state, step_i, params_g, batch, rng, ada_p,
+                fake_triple=None):
+        """D update: loss grads + lazy R1 + Adam. Returns (params_d, opt_d, stats).
+
+        With tcfg.fake_reuse the G phase's stop-gradient fakes arrive via
+        `fake_triple` and no synthesis runs here (params_g is unused)."""
         _kz_g, kz_d, _kr_g, kr_d, _kr_pl, kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
         z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
@@ -271,7 +293,7 @@ def make_gan_train_step(
         # lazy R1: full-strength penalty every r1_interval steps (StyleGAN2
         # lazy regularization; both cond branches compile once).
         (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            params_d, params_g, batch, z_d, kr_d, ada_p
+            params_d, params_g, batch, z_d, kr_d, ada_p, fake_triple
         )
 
         def with_r1(grads):
@@ -305,6 +327,7 @@ def make_gan_train_step(
         (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             params_g, params_d, z_g, batch["c"], kr_g, ada_p
         )
+        fake_triple = g_stats.pop("_fake_triple", None)
 
         # --- lazy path-length regularization (StyleGAN2; off when pl_weight == 0)
         pl_mean = jnp.asarray(pl_mean, jnp.float32)
@@ -352,6 +375,8 @@ def make_gan_train_step(
             ema,
             new_params_g,
         )
+        if tcfg.fake_reuse:
+            return new_params_g, opt_g_state, ema, pl_mean, g_stats, fake_triple
         return new_params_g, opt_g_state, ema, pl_mean, g_stats
 
     def step(
@@ -360,12 +385,22 @@ def make_gan_train_step(
         rng: jax.Array,
         ada_p: jax.Array = 0.0,
     ):
-        params_d, opt_d_state, d_stats = d_phase(
-            state.params_d, state.opt_d, state.step, state.params_g, batch,
-            rng, ada_p)
-        params_g, opt_g_state, ema, pl_mean, g_stats = g_phase(
-            state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
-            state.step, params_d, batch, rng, ada_p)
+        if tcfg.fake_reuse:
+            # G-first (stylegan2-ada phase order): G updates vs the pre-step D,
+            # then D trains on the same (stop-gradient) fakes — one synthesis.
+            params_g, opt_g_state, ema, pl_mean, g_stats, fakes = g_phase(
+                state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
+                state.step, state.params_d, batch, rng, ada_p)
+            params_d, opt_d_state, d_stats = d_phase(
+                state.params_d, state.opt_d, state.step, params_g, batch,
+                rng, ada_p, fakes)
+        else:
+            params_d, opt_d_state, d_stats = d_phase(
+                state.params_d, state.opt_d, state.step, state.params_g, batch,
+                rng, ada_p)
+            params_g, opt_g_state, ema, pl_mean, g_stats = g_phase(
+                state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
+                state.step, params_d, batch, rng, ada_p)
 
         stats = {**d_stats, **g_stats}
         new_state = GanTrainState(
@@ -399,11 +434,66 @@ def make_gan_train_step(
         )
 
     # --- split compilation: one program per phase, chained by the host. The
-    # device executes programs in dispatch order, so d_jit has finished reading
-    # params_g before g_jit (which donates it) runs; no extra synchronization.
-    # step_i is passed to both programs and incremented on device in g_jit's
-    # tail (avoiding a per-step eager scalar op, which is a full dispatch on
-    # the tunneled backend).
+    # device executes programs in dispatch order, so the first program has
+    # finished reading any buffer the second donates; no extra synchronization.
+    # step_i is passed to both programs and incremented on device in the LAST
+    # program's tail (avoiding a per-step eager scalar op, which is a full
+    # dispatch on the tunneled backend).
+
+    if tcfg.fake_reuse:
+        # G-first order: g_jit produces the (data-sharded) fake triple, d_jit
+        # consumes it and increments the step counter.
+        def d_phase_inc(params_d, opt_d_state, step_i, params_g, batch, rng,
+                        ada_p, fake_triple):
+            out = d_phase(params_d, opt_d_state, step_i, params_g, batch, rng,
+                          ada_p, fake_triple)
+            return out + (step_i + 1,)
+
+        if mesh is None:
+            g_jit = jax.jit(g_phase, donate_argnums=(0, 1, 2, 3))
+            d_jit = jax.jit(d_phase_inc, donate_argnums=(0, 1))
+        else:
+            g_jit = jax.jit(
+                g_phase,
+                in_shardings=(repl, repl, repl, repl, repl, repl, data, repl,
+                              repl),
+                out_shardings=(repl, repl, repl, repl, repl, data),
+                donate_argnums=(0, 1, 2, 3),
+            )
+            d_jit = jax.jit(
+                d_phase_inc,
+                in_shardings=(repl, repl, repl, repl, data, repl, repl, data),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+
+        def step_split(
+            state: GanTrainState,
+            batch: Dict[str, jax.Array],
+            rng: jax.Array,
+            ada_p: jax.Array = 0.0,
+        ):
+            params_g, opt_g_state, ema, pl_mean, g_stats, fakes = g_jit(
+                state.params_g, state.opt_g, state.params_g_ema, state.pl_mean,
+                state.step, state.params_d, batch, rng, ada_p)
+            params_d, opt_d_state, d_stats, new_step = d_jit(
+                state.params_d, state.opt_d, state.step, params_g, batch,
+                rng, ada_p, fakes)
+            new_state = GanTrainState(
+                step=new_step,
+                params_g=params_g,
+                params_d=params_d,
+                params_g_ema=ema,
+                opt_g=opt_g_state,
+                opt_d=opt_d_state,
+                pl_mean=pl_mean,
+            )
+            return new_state, {**d_stats, **g_stats}
+
+        step_split.d_jit = d_jit
+        step_split.g_jit = g_jit
+        return step_split
+
     def g_phase_inc(params_g, opt_g_state, ema, pl_mean, step_i, params_d,
                     batch, rng, ada_p):
         out = g_phase(params_g, opt_g_state, ema, pl_mean, step_i, params_d,

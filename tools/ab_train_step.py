@@ -75,20 +75,13 @@ def main():
         t = max(np.median(ts) - rtt, 0.0)
         print(f"{tag:12s} {t*1e3:8.1f} ms/step ({B/t:.2f} imgs/s)")
         if phases:
-            # time each compiled phase alone (same arrays the step feeds it)
-            d_args = (state.params_d, state.opt_d, state.step, state.params_g,
-                      batch, rng, ada_p)
-            ts = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                pd, od, st = step.d_jit(*jax.tree_util.tree_map(jnp.copy, d_args[:2]),
-                                        *d_args[2:])
-                _ = float(st["loss_d"])
-                ts.append(time.perf_counter() - t0)
-            td = max(np.median(ts) - rtt, 0.0)
+            # time each compiled phase alone (same arrays the step feeds it).
+            # fake_reuse order: g_jit first (returns the fake triple), then
+            # d_jit consumes it; legacy order: d_jit first.
             g_args = (state.params_g, state.opt_g, state.params_g_ema,
                       state.pl_mean, state.step, state.params_d, batch, rng,
                       ada_p)
+            fakes = None
             ts = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
@@ -97,12 +90,27 @@ def main():
                 _ = float(out[4]["loss_g"])
                 ts.append(time.perf_counter() - t0)
             tg = max(np.median(ts) - rtt, 0.0)
-            print(f"  d_phase    {td*1e3:8.1f} ms   g_phase {tg*1e3:8.1f} ms "
+            if tcfg.fake_reuse:
+                fakes = out[5]
+            d_args = (state.params_d, state.opt_d, state.step, state.params_g,
+                      batch, rng, ada_p)
+            if tcfg.fake_reuse:
+                d_args = d_args + (fakes,)
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                out = step.d_jit(*jax.tree_util.tree_map(jnp.copy, d_args[:2]),
+                                 *d_args[2:])
+                _ = float(out[2]["loss_d"])
+                ts.append(time.perf_counter() - t0)
+            td = max(np.median(ts) - rtt, 0.0)
+            print(f"  g_phase    {tg*1e3:8.1f} ms   d_phase {td*1e3:8.1f} ms "
                   f"(sum {1e3*(td+tg):.1f})")
         return t
 
     base = GanTrainConfig()
     time_step("base", base, phases=True)
+    time_step("no_reuse", dataclasses.replace(base, fake_reuse=False))
     time_step("no_ada", dataclasses.replace(base, use_ada=False))
     time_step("no_mixing", dataclasses.replace(base, style_mixing_prob=0.0))
     time_step("no_seg_d", dataclasses.replace(base, use_seg_d=False))
