@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--images", required=True, help="image file, glob, or directory")
     ap.add_argument("--masks", default=None, help="directory of masks for encoder warm start")
     ap.add_argument("--encoder", default=None, help="HybridEncoder ckpt for initial_w")
+    ap.add_argument("--e4e", default=None,
+                    help="e4e/pSp .pt checkpoint: first-stage w_type='e4e' pivots "
+                         "(base_coach.py:181-199); takes precedence over --encoder")
     ap.add_argument("--labels", default=None, help="json {fname: 25-dim pose}; default front")
     ap.add_argument("--opencv-labels", action="store_true",
                     help="--labels values are in the dataset.json OpenCV "
@@ -84,6 +87,27 @@ def main(argv=None):
 
             labels = {k: _cv2gl(v) for k, v in labels.items()}
 
+    e4e_fn = None
+    if args.e4e:
+        from ..models.e4e import load_e4e, pivot_from_image
+
+        e4e_model, e4e_params, e4e_avg, e4e_report = load_e4e(args.e4e)
+        print(f"e4e: {e4e_report}")
+        num_ws = G.num_ws
+
+        @jax.jit
+        def e4e_fn(img):
+            # e4e inversion preprocessing (e4e_latent_creator.py:14-17):
+            # 256^2, [-1, 1]
+            x = jax.image.resize(img, (img.shape[0], 256, 256, 3), "bilinear")
+            w = pivot_from_image(e4e_model, e4e_params, e4e_avg, x)
+            # row-count adapt: the e4e was trained for its decoder's w+ depth;
+            # broadcast/truncate onto this G's num_ws rows
+            if w.shape[1] < num_ws:
+                w = jnp.concatenate(
+                    [w, jnp.repeat(w[:, -1:], num_ws - w.shape[1], axis=1)], axis=1)
+            return w[:, :num_ws]
+
     e_params = E = None
     if args.encoder:
         from ..io.checkpoint import load_checkpoint
@@ -111,7 +135,9 @@ def main(argv=None):
         ).reshape(1, 25)
 
         initial_w = None
-        if E is not None and args.masks:
+        if e4e_fn is not None:
+            initial_w = e4e_fn(target)
+        elif E is not None and args.masks:
             from ..utils.seg import mask2onehot
             from .infer_hybrid_encoder import load_mask
 

@@ -103,7 +103,10 @@ class ArcFaceIRSE50:
                     },
                 },
             }
-            if not (ci == depth and stride == 1):
+            # model_irse helpers: conv shortcut ONLY when channels change;
+            # in_channel == depth uses MaxPool2d(1, stride) even at stride 2
+            # (body.0 has NO shortcut params in the real model_ir_se50.pth).
+            if ci != depth:
                 blk["shortcut_layer"] = {"0": conv(ci, depth, 1), "1": bn(depth)}
             p["body"][str(i)] = blk
         return p

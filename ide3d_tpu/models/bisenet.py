@@ -106,16 +106,18 @@ def _resize_bilinear_ac(x, hw):
     h, w = hw
     if (H, W) == (h, w):
         return x
-    # jax.image.resize 'linear' is align_corners=False; emulate AC=True by scaling
-    # coordinates — use jax.image.scale_and_translate.
-    scale_h = (H - 1) / (h - 1) if h > 1 else 0.0
-    scale_w = (W - 1) / (w - 1) if w > 1 else 0.0
+    # jax.image.resize 'linear' is align_corners=False; emulate AC=True with
+    # scale_and_translate, whose sample map is in = (o + 0.5 - t)/k - 0.5.
+    # AC=True wants in = o * (H-1)/(h-1), so k = (h-1)/(H-1) and
+    # t = 0.5 - 0.5/a with a = 1/k (torch-parity pinned in tests/test_e4e.py).
+    a_h = (H - 1) / (h - 1) if h > 1 else 1.0
+    a_w = (W - 1) / (w - 1) if w > 1 else 1.0
     out = jax.image.scale_and_translate(
         x,
         (B, h, w, C),
         spatial_dims=(1, 2),
-        scale=jnp.array([1.0 / scale_h if scale_h else 1.0, 1.0 / scale_w if scale_w else 1.0]),
-        translation=jnp.array([0.0, 0.0]),
+        scale=jnp.array([1.0 / a_h, 1.0 / a_w]),
+        translation=jnp.array([0.5 - 0.5 / a_h, 0.5 - 0.5 / a_w]),
         method="linear",
         antialias=False,
     )

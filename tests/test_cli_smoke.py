@@ -105,6 +105,43 @@ def test_run_pti_cli(tiny_ckpt, tmp_path):
     assert any("face" in f for f in files), files
 
 
+def test_run_pti_cli_e4e_pivot(tiny_ckpt, tmp_path):
+    """--e4e: first-stage pivots from a (random-init) pSp/e4e checkpoint
+    (w_type='e4e', base_coach.py:181-199)."""
+    import PIL.Image
+
+    torch = pytest.importorskip("torch")
+
+    from ide3d_tpu.apps.run_pti import main
+    from ide3d_tpu.models.e4e import E4eEncoder
+
+    # torch-layout pSp checkpoint from the framework init tree
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cnn_import import make_torch_sd
+
+    sd, _ = make_torch_sd(E4eEncoder(stylegan_size=32).init(), seed=3)
+    ckpt = {"state_dict": {f"encoder.{k}": torch.from_numpy(v) * 0.25
+                           for k, v in sd.items()},
+            "latent_avg": torch.zeros(512)}
+    e4e_path = str(tmp_path / "e4e.pt")
+    torch.save(ckpt, e4e_path)
+
+    rs = np.random.RandomState(4)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    PIL.Image.fromarray(rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "face.png")
+    out = str(tmp_path / "pti_e4e")
+    rc = main([
+        "--network", tiny_ckpt, "--images", str(img_dir), "--outdir", out,
+        "--e4e", e4e_path,
+        "--projector-steps", "2", "--pti-steps", "2", "--lpips-threshold", "0",
+    ])
+    assert not rc
+    assert any("face" in f for f in os.listdir(out))
+
+
 def test_infer_face_animation_cli(tiny_ckpt, tmp_path):
     import PIL.Image
 

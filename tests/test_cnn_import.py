@@ -172,7 +172,13 @@ def test_arcface_import_and_block_parity():
     sd, want = make_torch_sd(tree0, seed=7)
     params = assert_roundtrip(tree0, sd, want)
 
-    # input layer + first bottleneck (stride 2, with SE + 1x1-s2 shortcut) vs torch
+    # model_irse shortcut contract: in_channel == depth -> parameter-free
+    # MaxPool2d(1, stride) even at stride 2 (body.0); conv shortcut only on
+    # channel changes (body.3: 64 -> 128 stride 2)
+    assert "shortcut_layer" not in tree0["body"]["0"]
+    assert "shortcut_layer" in tree0["body"]["3"]
+
+    # input layer + body.0 (maxpool shortcut) + body.3 (conv shortcut) vs torch
     x = np.random.RandomState(8).randn(1, 16, 16, 3).astype(np.float32)
 
     xt = F.conv2d(nchw(x), torch.from_numpy(sd["input_layer.0.weight"]), padding=1)
@@ -180,39 +186,56 @@ def test_arcface_import_and_block_parity():
     a = torch.from_numpy(sd["input_layer.2.weight"]).reshape(1, -1, 1, 1)
     xt = torch.where(xt >= 0, xt, a * xt)
 
-    ci, depth, stride = _blocks_50()[0]
-    blk = "body.0"
-    sc = F.conv2d(xt, torch.from_numpy(sd[f"{blk}.shortcut_layer.0.weight"]), stride=stride)
-    sc = t_bn(sc, sub(sd, f"{blk}.shortcut_layer.1"))
-    y = t_bn(xt, sub(sd, f"{blk}.res_layer.0"))
-    y = F.conv2d(y, torch.from_numpy(sd[f"{blk}.res_layer.1.weight"]), padding=1)
-    ap = torch.from_numpy(sd[f"{blk}.res_layer.2.weight"]).reshape(1, -1, 1, 1)
-    y = torch.where(y >= 0, y, ap * y)
-    y = F.conv2d(y, torch.from_numpy(sd[f"{blk}.res_layer.3.weight"]),
-                 stride=stride, padding=1)
-    y = t_bn(y, sub(sd, f"{blk}.res_layer.4"))
-    s = y.mean(dim=(2, 3), keepdim=True)
-    s = F.relu(F.conv2d(s, torch.from_numpy(sd[f"{blk}.res_layer.5.fc1.weight"])))
-    s = torch.sigmoid(F.conv2d(s, torch.from_numpy(sd[f"{blk}.res_layer.5.fc2.weight"])))
-    want_t = y * s + sc
+    def torch_block(xt, blk, stride, maxpool_shortcut):
+        if maxpool_shortcut:
+            sc = F.max_pool2d(xt, 1, stride) if stride > 1 else xt
+        else:
+            sc = F.conv2d(xt, torch.from_numpy(sd[f"{blk}.shortcut_layer.0.weight"]),
+                          stride=stride)
+            sc = t_bn(sc, sub(sd, f"{blk}.shortcut_layer.1"))
+        y = t_bn(xt, sub(sd, f"{blk}.res_layer.0"))
+        y = F.conv2d(y, torch.from_numpy(sd[f"{blk}.res_layer.1.weight"]), padding=1)
+        ap = torch.from_numpy(sd[f"{blk}.res_layer.2.weight"]).reshape(1, -1, 1, 1)
+        y = torch.where(y >= 0, y, ap * y)
+        y = F.conv2d(y, torch.from_numpy(sd[f"{blk}.res_layer.3.weight"]),
+                     stride=stride, padding=1)
+        y = t_bn(y, sub(sd, f"{blk}.res_layer.4"))
+        s = y.mean(dim=(2, 3), keepdim=True)
+        s = F.relu(F.conv2d(s, torch.from_numpy(sd[f"{blk}.res_layer.5.fc1.weight"])))
+        s = torch.sigmoid(F.conv2d(s, torch.from_numpy(sd[f"{blk}.res_layer.5.fc2.weight"])))
+        return y * s + sc
 
-    # framework: run input layer + block 0 via the module internals
+    # framework: run input layer + blocks via the module internals
     from ide3d_tpu.models.arcface import _bn, _conv, _prelu
+
+    def jax_block(xj, bp, stride):
+        if "shortcut_layer" in bp:
+            scj = _bn(_conv(xj, bp["shortcut_layer"]["0"]["weight"], stride),
+                      bp["shortcut_layer"]["1"])
+        elif stride == 1:
+            scj = xj
+        else:
+            scj = jax.lax.reduce_window(xj, -jnp.inf, jax.lax.max, (1, 1, 1, 1),
+                                        (1, stride, stride, 1), "VALID")
+        r = bp["res_layer"]
+        yj = _bn(xj, r["0"])
+        yj = _prelu(_conv(yj, r["1"]["weight"]), r["2"])
+        yj = _bn(_conv(yj, r["3"]["weight"], stride), r["4"])
+        sj = jnp.mean(yj, axis=(1, 2), keepdims=True)
+        sj = jax.nn.relu(_conv(sj, r["5"]["fc1"]["weight"]))
+        sj = jax.nn.sigmoid(_conv(sj, r["5"]["fc2"]["weight"]))
+        return yj * sj + scj
 
     xj = _conv(jnp.asarray(x), params["input_layer"]["0"]["weight"])
     xj = _prelu(_bn(xj, params["input_layer"]["1"]), params["input_layer"]["2"])
-    bp = params["body"]["0"]
-    scj = _bn(_conv(xj, bp["shortcut_layer"]["0"]["weight"], stride),
-              bp["shortcut_layer"]["1"])
-    r = bp["res_layer"]
-    yj = _bn(xj, r["0"])
-    yj = _prelu(_conv(yj, r["1"]["weight"]), r["2"])
-    yj = _bn(_conv(yj, r["3"]["weight"], stride), r["4"])
-    sj = jnp.mean(yj, axis=(1, 2), keepdims=True)
-    sj = jax.nn.relu(_conv(sj, r["5"]["fc1"]["weight"]))
-    sj = jax.nn.sigmoid(_conv(sj, r["5"]["fc2"]["weight"]))
-    got = yj * sj + scj
-    np.testing.assert_allclose(np.asarray(got), to_nhwc(want_t), atol=1e-4, rtol=1e-4)
+    for i in (0, 1, 2, 3):
+        ci, depth, stride = _blocks_50()[i]
+        want_t = torch_block(xt, f"body.{i}", stride,
+                             maxpool_shortcut=(ci == depth))
+        got = jax_block(xj, params["body"][str(i)], stride)
+        np.testing.assert_allclose(np.asarray(got), to_nhwc(want_t),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"body.{i}")
+        xt, xj = want_t, got
 
     emb = net(params, jnp.zeros((1, 112, 112, 3)))
     assert emb.shape == (1, 512) and np.isfinite(np.asarray(emb)).all()
