@@ -35,6 +35,34 @@ from ..models.generator import Ide3dGenerator
 from ..utils.seg import mask2color, mask2onehot
 
 
+def free_view_trajectory(traj_type: str = "orbit"):
+    """Painter free-view capture paths (Painter/run_UI.py:244-288), returned as
+    (yaw, pitch) SLIDER OFFSETS — the reference stores absolute angles around
+    pi/2 and PainterSession.camera adds the pi/2 back.
+
+    'front': 240-frame Lissajous wobble around the frontal view (:247-251);
+    'orbit': 8 x 15-frame linear sweeps — yaw 0.5->0.3->0.5->0.7->0.5 (x pi),
+    then pitch 0.5->0.4->0.5->0.6->0.5 (:252-287).
+    """
+    half = math.pi / 2
+    traj = []
+    if traj_type == "front":
+        for i in range(240):
+            h = math.pi * (0.5 + 0.1 * math.cos(2 * math.pi * i / (0.5 * 240)))
+            v = math.pi * (0.5 - 0.05 * math.sin(2 * math.pi * i / (0.5 * 240)))
+            traj.append((h - half, v - half))
+    elif traj_type == "orbit":
+        for a, b in ((0.5, 0.3), (0.3, 0.5), (0.5, 0.7), (0.7, 0.5)):
+            for t in np.linspace(a, b, 15):
+                traj.append((float(t * math.pi - half), 0.0))
+        for a, b in ((0.5, 0.4), (0.4, 0.5), (0.5, 0.6), (0.6, 0.5)):
+            for t in np.linspace(a, b, 15):
+                traj.append((0.0, float(t * math.pi - half)))
+    else:
+        raise ValueError(f"unknown trajectory {traj_type!r} (want 'front' or 'orbit')")
+    return traj
+
+
 def make_edit_step(G: Ide3dGenerator, E: HybridEncoder, lock_appearance: bool = True):
     """Build the edit step:
 
@@ -225,6 +253,14 @@ class PainterSession:
         self._frame_cache = (rec_ws, np.asarray(c), img)
         return (np.asarray(self._img_u8(img[0])),
                 np.asarray(self._seg_u8(seg))[0])
+
+    def render_trajectory(self, traj_type: str = "orbit", stride: int = 1):
+        """freeview_render (run_UI.py:306-310): play a capture path on the
+        current latent, yielding RGB uint8 frames (pose-only moves ride the
+        cached plane/quad table, so this is the fast path)."""
+        for yaw, pitch in free_view_trajectory(traj_type)[::max(1, stride)]:
+            rgb, _ = self.view(yaw, pitch)
+            yield rgb
 
     # -------------------------------------------------------------- session log
 

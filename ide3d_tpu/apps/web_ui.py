@@ -21,6 +21,11 @@ API (JSON; images as base64 PNG, masks as base64 raw uint8 class ids):
   POST /api/seed  {seed, trunc, yaw, pitch} -> {render, seg_ids}
   GET  /api/view?yaw=&pitch=            -> {render}
   POST /api/edit  {mask, yaw, pitch}    -> {render, seg_ids}   (advances latents)
+  POST /api/orbit {type: front|orbit, stride} -> {video (b64), ext, frames}
+       free-view capture path on the current latent (run_UI.py:244-310)
+  GET  /api/session_video               -> {video (b64), ext, frames}
+       every frame this session rendered via /api/edit, stitched (the
+       Painter log -> video round trip, Painter/converter_log_to_video.py)
 """
 
 from __future__ import annotations
@@ -67,6 +72,10 @@ HTML = """<!doctype html>
  <label>open mask <input id="maskfile" type="file" accept="image/png"
         style="width:180px" onchange="loadMask()"></label>
  <button id="apply" onclick="applyEdit()"><b>Apply edit</b></button>
+ <button onclick="capture('orbit')">orbit video</button>
+ <button onclick="capture('front')">front video</button>
+ <button onclick="sessionVideo()">session video</button>
+ <a id="videolink" style="display:none" download>download capture</a>
 </div>
 <div id="panes">
  <div><div>mask (paint here)</div><canvas id="mask"></canvas></div>
@@ -147,6 +156,25 @@ async function loadMask() {
   ids = Uint8Array.from(atob(r.seg_ids), c => c.charCodeAt(0));
   drawMask();
 }
+function showVideo(r) {
+  if (!r.frames) { status("no frames yet"); return; }
+  const a = $("videolink");
+  a.href = `data:video/${r.ext === "gif" ? "gif" : "mp4"};base64,` + r.video;
+  a.download = "capture." + r.ext;
+  a.style.display = "inline";
+  a.textContent = `download capture (${r.frames} frames, .${r.ext})`;
+  status("");
+}
+async function capture(type) {
+  status(`rendering ${type} trajectory…`);
+  const r = await (await fetch("/api/orbit", {method: "POST",
+    body: JSON.stringify({type: type, stride: 2})})).json();
+  showVideo(r);
+}
+async function sessionVideo() {
+  status("stitching session…");
+  showVideo(await (await fetch("/api/session_video")).json());
+}
 function undo() { if (undoStack.length) { redoStack.push(ids.slice());
                   ids = undoStack.pop(); drawMask(); } }
 function redo() { if (redoStack.length) { undoStack.push(ids.slice());
@@ -193,6 +221,7 @@ class PainterWebApp:
         self.session = session
         self._lock = threading.Lock()
         self._last_seg_ids = None
+        self._session_frames = []  # every /api/edit render, for /api/session_video
 
     # ------------------------------------------------------------------ routes
 
@@ -231,7 +260,42 @@ class PainterWebApp:
                 mask, float(payload.get("yaw", 0)), float(payload.get("pitch", 0))
             )
             ids = self._seg_ids(seg_color)
+            self._session_frames.append(rgb)
         return {"render": _png_b64(rgb), "seg_ids": base64.b64encode(ids).decode()}
+
+    @staticmethod
+    def _video_b64(frames, fps: int = 24) -> dict:
+        import os
+        import tempfile
+
+        from .common import write_video
+
+        with tempfile.TemporaryDirectory() as td:
+            out = write_video(os.path.join(td, "cap.mp4"), list(frames), fps=fps)
+            with open(out, "rb") as f:
+                data = f.read()
+            ext = os.path.splitext(out)[1].lstrip(".")
+        return {"video": base64.b64encode(data).decode(), "ext": ext,
+                "frames": len(frames)}
+
+    def orbit(self, payload: dict) -> dict:
+        """Free-view capture (the Qt app's front/orbit trajectory buttons,
+        run_UI.py:244-310) rendered through the session's cached pose-only path
+        and returned as a video."""
+        traj_type = payload.get("type", "orbit")
+        stride = int(payload.get("stride", 1))
+        with self._lock:
+            frames = list(self.session.render_trajectory(traj_type, stride))
+        return self._video_b64(frames)
+
+    def session_video(self) -> dict:
+        """Stitch every frame produced by /api/edit this session — the Painter
+        log -> video round trip (Painter/converter_log_to_video.py)."""
+        with self._lock:
+            frames = list(self._session_frames)
+        if not frames:
+            return {"video": "", "ext": "", "frames": 0}
+        return self._video_b64(frames)
 
     def load_mask(self, payload: dict) -> dict:
         """'Open real mask' (run_UI.py:364-412): accepts a PNG of class ids
@@ -282,6 +346,12 @@ class PainterWebApp:
             return 200, "application/json", json.dumps(out).encode()
         if method == "POST" and path == "/api/load_mask":
             out = self.load_mask(json.loads(body or b"{}"))
+            return 200, "application/json", json.dumps(out).encode()
+        if method == "POST" and path == "/api/orbit":
+            out = self.orbit(json.loads(body or b"{}"))
+            return 200, "application/json", json.dumps(out).encode()
+        if method == "GET" and path == "/api/session_video":
+            out = self.session_video()
             return 200, "application/json", json.dumps(out).encode()
         return 404, "text/plain", b"not found"
 

@@ -67,6 +67,38 @@ def test_seed_view_edit_loop(app):
     assert img.size == (R, R)
 
 
+def test_orbit_and_session_video(app):
+    """Free-view capture buttons (run_UI.py:244-310) + the log -> video round
+    trip: a scripted session must yield playable capture files."""
+    from ide3d_tpu.apps.painter import free_view_trajectory
+
+    # trajectory contract: reference frame counts and angle ranges
+    orbit = free_view_trajectory("orbit")
+    front = free_view_trajectory("front")
+    assert len(orbit) == 120 and len(front) == 240
+    assert abs(orbit[0][0]) < 1e-6 and abs(orbit[0][1]) < 1e-6  # starts frontal
+    yaws = np.asarray([y for y, _ in orbit])
+    assert yaws.min() < -0.6 and yaws.max() > 0.6  # 0.3pi..0.7pi sweep
+
+    out = _json(app.handle("POST", "/api/orbit", {},
+                           json.dumps({"type": "orbit", "stride": 30}).encode()))
+    assert out["frames"] == 4 and out["ext"] in ("mp4", "gif")
+    data = base64.b64decode(out["video"])
+    assert len(data) > 100
+    if out["ext"] == "gif":
+        assert data[:3] == b"GIF"
+
+    # session video: edits so far (recorded by the /api/edit route) stitched
+    out_s = _json(app.handle("GET", "/api/session_video", {}, b""))
+    assert out_s["frames"] >= 1 and out_s["video"]
+
+    # unknown trajectory type errors cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        app.orbit({"type": "barrel-roll"})
+
+
 def test_unknown_route(app):
     status, _, _ = app.handle("GET", "/nope", {}, b"")
     assert status == 404
