@@ -106,12 +106,25 @@ def _resize_bilinear_ac(x, hw):
     h, w = hw
     if (H, W) == (h, w):
         return x
+    # Degenerate axes first (torch AC=True semantics): a 1-wide input axis
+    # broadcasts; a 1-wide output axis samples input coordinate 0.
+    if H == 1 and x.shape[1] != h:
+        x = jnp.broadcast_to(x, (B, h, W, C))
+    if W == 1 and x.shape[2] != w:
+        x = jnp.broadcast_to(x, (B, x.shape[1], w, C))
+    if h == 1 and x.shape[1] != 1:
+        x = x[:, :1]
+    if w == 1 and x.shape[2] != 1:
+        x = x[:, :, :1]
+    B, H, W, C = x.shape
+    if (H, W) == (h, w):
+        return x
     # jax.image.resize 'linear' is align_corners=False; emulate AC=True with
     # scale_and_translate, whose sample map is in = (o + 0.5 - t)/k - 0.5.
     # AC=True wants in = o * (H-1)/(h-1), so k = (h-1)/(H-1) and
     # t = 0.5 - 0.5/a with a = 1/k (torch-parity pinned in tests/test_e4e.py).
-    a_h = (H - 1) / (h - 1) if h > 1 else 1.0
-    a_w = (W - 1) / (w - 1) if w > 1 else 1.0
+    a_h = (H - 1) / (h - 1) if h > 1 and H > 1 else 1.0
+    a_w = (W - 1) / (w - 1) if w > 1 and W > 1 else 1.0
     out = jax.image.scale_and_translate(
         x,
         (B, h, w, C),
