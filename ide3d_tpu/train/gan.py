@@ -221,13 +221,24 @@ def make_gan_train_step(
 
     def d_loss_fn(params_d, params_g, batch, z, rng, ada_p, fake_triple=None):
         c = batch["c"]
-        k_synth, k_aug_f, k_aug_r = jax.random.split(rng, 3)
+        k_synth, k_aug_f, _k_aug_r = jax.random.split(rng, 3)
         if fake_triple is None:
             out = synth_fake(params_g, z, c, k_synth)
             fake_triple = _d_triple_fake(out)
-        fake_in = _d_in(fake_triple, k_aug_f, ada_p)
-        fake_logits = D(params_d, jax.lax.stop_gradient(fake_in), c)
-        real_logits = D(params_d, _d_in(_d_triple_real(batch), k_aug_r, ada_p), c)
+        # ONE batched D application over fake ++ real (instead of two B-sized
+        # programs): halves D-phase program count and doubles MXU batch. With
+        # B % mbstd_group_size == 0 the minibatch-stddev groups stay disjoint
+        # per half, so the logits are identical to two separate calls; the one
+        # batched ADA call draws per-sample transforms for the 2B rows.
+        fake_triple = jax.lax.stop_gradient(fake_triple)
+        real_triple = _d_triple_real(batch)
+        both_triple = tuple(
+            jnp.concatenate([f, r], axis=0)
+            for f, r in zip(fake_triple, real_triple))
+        d_in = _d_in(both_triple, k_aug_f, ada_p)
+        logits = D(params_d, d_in, jnp.concatenate([c, c], axis=0))
+        B = c.shape[0]
+        fake_logits, real_logits = logits[:B], logits[B:]
         loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(jax.nn.softplus(-real_logits))
         return loss, {
             "loss_d": loss,
