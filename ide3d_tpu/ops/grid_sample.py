@@ -20,8 +20,11 @@ against (the `impl='ref'` pattern of the reference op layer).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _unnormalize(coords: jax.Array, size: int, align_corners: bool) -> jax.Array:
@@ -131,10 +134,10 @@ def grid_sample_2d_quad(
     xq = jnp.clip(x0i + 1, 0, W)
     yq = jnp.clip(y0i + 1, 0, H)
 
-    flat = quad.reshape(B * Hp * Wp, 4 * C)
-    base = (jnp.arange(B, dtype=jnp.int32) * (Hp * Wp))[:, None]
-    idx = base + yq * Wp + xq  # [B, N]
-    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, 4 * C)
+    idx = yq * Wp + xq  # [B, N], image-local rows
+    rows = _split_gather_fused_scatter(B, Hp * Wp, 1, N, 4 * C)(
+        quad.reshape(B, Hp * Wp, 4 * C), idx[None]
+    )[0]
     rows = rows * inside[..., None].astype(image.dtype)
 
     v00 = rows[..., :C]
@@ -242,6 +245,43 @@ def build_triplane_quad_table(planes: jax.Array) -> jax.Array:
     return jnp.concatenate([q00, q01, q10, q11], axis=-1)  # [B, 3, H+1, W+1, 4C]
 
 
+@functools.lru_cache(maxsize=None)
+def _split_gather_fused_scatter(B: int, R: int, P: int, N: int, C: int):
+    """Batched table gather: fwd gathers PER IMAGE, bwd scatters ONE fused table.
+
+    v5e-measured (tools/ab_scatter_forms.py, flagship train shapes, bf16 204ch):
+    per-row gather cost scales with the TABLE size, not the row count — one
+    4.72M-row gather from the batch-4 table costs 60 ms, but four per-image
+    gathers (1.18M rows / 198k-row table each) cost 18.5 ms total. The
+    scatter-add transpose shows the opposite: per-image scatters are slightly
+    SLOWER than one fused full-table scatter (103.7 vs 96.2 ms). This
+    custom_vjp takes the best of both. Value, first- and second-order grads
+    (PL reg is reverse-over-reverse through this) match the plain fused take.
+
+    f(flat_b [B,R,C], idx [P,B,N] in [0,R)) -> rows [P,B,N,C].
+    """
+
+    @jax.custom_vjp
+    def f(flat_b, idx):
+        per_b = [
+            jnp.take(flat_b[b], idx[:, b].reshape(-1), axis=0).reshape(P, N, C)
+            for b in range(B)
+        ]
+        return per_b[0][:, None] if B == 1 else jnp.stack(per_b, axis=1)
+
+    def f_fwd(flat_b, idx):
+        return f(flat_b, idx), idx
+
+    def f_bwd(idx, g):  # g [P, B, N, C]
+        base = (jnp.arange(B, dtype=jnp.int32) * R)[None, :, None]
+        gidx = (idx + base).reshape(-1)
+        dflat = jnp.zeros((B * R, C), g.dtype).at[gidx].add(g.reshape(-1, C))
+        return dflat.reshape(B, R, C), np.zeros(idx.shape, jax.dtypes.float0)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
     """Tri-plane bilinear sampling against a quad table (see build_triplane_quad_table).
 
@@ -273,13 +313,13 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
     xq = jnp.clip(x0i + 1, 0, W)
     yq = jnp.clip(y0i + 1, 0, H)
 
-    flat = quad.reshape(B * 3 * H1 * W1, C4)
-    base = (
-        jnp.arange(B, dtype=jnp.int32)[None, :] * 3 + jnp.arange(3, dtype=jnp.int32)[:, None]
-    )[..., None] * (H1 * W1)  # [3, B, 1]
-    idx = base + yq * W1 + xq  # [3, B, N]
+    # Per-image base (plane-local): row r of image b's [3*H1*W1, C4] table.
+    plane_base = jnp.arange(3, dtype=jnp.int32)[:, None, None] * (H1 * W1)  # [3,1,1]
+    idx = plane_base + yq * W1 + xq  # [3, B, N], in [0, 3*H1*W1)
 
-    rows = jnp.take(flat, idx.reshape(-1), axis=0).reshape(3, B, N, C4)
+    rows = _split_gather_fused_scatter(B, 3 * H1 * W1, 3, N, C4)(
+        quad.reshape(B, 3 * H1 * W1, C4), idx
+    )
     rows = rows * inside[..., None].astype(quad.dtype)
 
     # Epilogue layout notes (measured, scan-amortized A/B on v5e): this
