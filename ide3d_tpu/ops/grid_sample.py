@@ -82,6 +82,7 @@ def grid_sample_2d_quad(
     image: jax.Array,  # [B, H, W, C]
     coords: jax.Array,  # [B, N, 2], (x, y) in [-1, 1]
     align_corners: bool = False,
+    coords_grad: bool = True,
 ) -> jax.Array:
     """grid_sample_2d via a 2x2-neighborhood ("quad") table — the DENSE-sampling
     fast form. Numerically identical to grid_sample_2d (same corner masks, same
@@ -135,18 +136,23 @@ def grid_sample_2d_quad(
     yq = jnp.clip(y0i + 1, 0, H)
 
     idx = yq * Wp + xq  # [B, N], image-local rows
-    rows = _split_gather_fused_scatter(B, Hp * Wp, 1, N, 4 * C)(
-        quad.reshape(B, Hp * Wp, 4 * C), idx[None]
-    )[0]
-    rows = rows * inside[..., None].astype(image.dtype)
+    if not coords_grad:
+        # ADA-warp fast form: coords are the augmentation grid (no parameters
+        # behind them) -> per-image chains + fused-scatter image gradient.
+        return _fused_table_sampler(B, Hp * Wp, 1, N, 4 * C, False,
+                                    str(image.dtype))(
+            quad.reshape(B, Hp * Wp, 4 * C),
+            idx[None],
+            jax.lax.stop_gradient(wx[..., 0])[None],
+            jax.lax.stop_gradient(wy[..., 0])[None],
+            inside[None],
+        )
 
-    v00 = rows[..., :C]
-    v01 = rows[..., C : 2 * C]
-    v10 = rows[..., 2 * C : 3 * C]
-    v11 = rows[..., 3 * C :]
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    return top + (bot - top) * wy
+    flat = quad.reshape(B * Hp * Wp, 4 * C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (Hp * Wp))[:, None]
+    rows = jnp.take(flat, (base + idx).reshape(-1), axis=0).reshape(B, N, 4 * C)
+    return _quad_epilogue(rows[None], wx[None], wy[None], inside[None],
+                          sum_planes=False)
 
 
 def grid_sample_3d(
@@ -245,49 +251,112 @@ def build_triplane_quad_table(planes: jax.Array) -> jax.Array:
     return jnp.concatenate([q00, q01, q10, q11], axis=-1)  # [B, 3, H+1, W+1, 4C]
 
 
+def _quad_epilogue(rows, wx, wy, inside, sum_planes: bool):
+    """Mask + 2D lerp over gathered quad rows [P, N(, ...), 4C] -> [..., C].
+
+    Measured, scan-amortized A/B on v5e: this slice-and-lerp chain over flat
+    wide rows IS the fast form (corner-major tables, einsum folds, and
+    narrow-output masking all measured slower — see sample_from_quad_table)."""
+    C = rows.shape[-1] // 4
+    rows = rows * inside[..., None].astype(rows.dtype)
+    v00 = rows[..., :C]
+    v01 = rows[..., C : 2 * C]
+    v10 = rows[..., 2 * C : 3 * C]
+    v11 = rows[..., 3 * C :]
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    out = top + (bot - top) * wy
+    return out.sum(axis=0) if sum_planes else out[0]
+
+
 @functools.lru_cache(maxsize=None)
-def _split_gather_fused_scatter(B: int, R: int, P: int, N: int, C: int):
-    """Batched table gather: fwd gathers PER IMAGE, bwd scatters ONE fused table.
+def _fused_table_sampler(B: int, R: int, P: int, N: int, C4: int,
+                         sum_planes: bool, tab_dtype: str):
+    """Quad-table sample with the whole gather+mask+lerp(+plane-sum) chain under
+    ONE custom_vjp — the no-coordinate-gradient fast path of the two quad ops.
 
-    v5e-measured (tools/ab_scatter_forms.py, flagship train shapes, bf16 204ch):
-    per-row gather cost scales with the TABLE size, not the row count — one
-    4.72M-row gather from the batch-4 table costs 60 ms, but four per-image
-    gathers (1.18M rows / 198k-row table each) cost 18.5 ms total. The
-    scatter-add transpose shows the opposite: per-image scatters are slightly
-    SLOWER than one fused full-table scatter (103.7 vs 96.2 ms). This
-    custom_vjp takes the best of both. Value, first- and second-order grads
-    (PL reg is reverse-over-reverse through this) match the plain fused take.
+    Rationale (v5e, flagship train shapes, tools/ab_scatter_forms.py +
+    ab_sampler_forms.py): per-row gather cost scales with the TABLE size, not
+    the row count — the batch-4 tri-plane gather costs 60 ms fused but 18.5 ms
+    as four per-image gathers. Splitting the bare gather under standard AD,
+    however, made the FULL train-step program ~80 ms/step slower: XLA rolls the
+    four identical takes into while loops and materializes the stacked wide
+    rows through dynamic-update-slices + copies. Spanning the epilogue keeps
+    each per-image chain narrow ([N, C] out) and the backward is exactly one
+    fused full-table scatter built from the lerp weights (per-image scatters
+    measured slower, 103.7 vs 96.2 ms; no rows residual is ever saved).
 
-    f(flat_b [B,R,C], idx [P,B,N] in [0,R)) -> rows [P,B,N,C].
+    Coordinates are declared NON-differentiable here (wx/wy/inside cotangents
+    are zero). Callers on the train path satisfy this structurally: fine_z is
+    stop_gradient'd (renderer.py), rays are camera-only, and the ADA warp's
+    transform grid carries no parameters. Generic coord-grad users take the
+    plain-take path (coords_grad=True).
+
+    f(flat_b [B,R,C4], idx [P,B,N] in [0,R), wx [P,B,N], wy [P,B,N],
+      inside [P,B,N] bool) -> [B, N, C4//4] (sum_planes) or [B, N, C4//4].
     """
 
     @jax.custom_vjp
-    def f(flat_b, idx):
-        per_b = [
-            jnp.take(flat_b[b], idx[:, b].reshape(-1), axis=0).reshape(P, N, C)
-            for b in range(B)
-        ]
-        return per_b[0][:, None] if B == 1 else jnp.stack(per_b, axis=1)
+    def f(flat_b, idx, wx, wy, inside):
+        outs = []
+        for b in range(B):
+            rows = jnp.take(flat_b[b], idx[:, b].reshape(-1), axis=0).reshape(
+                P, N, C4
+            )
+            outs.append(
+                _quad_epilogue(
+                    rows,
+                    wx[:, b, :, None].astype(rows.dtype),
+                    wy[:, b, :, None].astype(rows.dtype),
+                    inside[:, b],
+                    sum_planes,
+                )
+            )
+        return outs[0][None] if B == 1 else jnp.stack(outs, axis=0)
 
-    def f_fwd(flat_b, idx):
-        return f(flat_b, idx), idx
+    def f_fwd(flat_b, idx, wx, wy, inside):
+        return f(flat_b, idx, wx, wy, inside), (idx, wx, wy, inside)
 
-    def f_bwd(idx, g):  # g [P, B, N, C]
+    def f_bwd(res, g):  # g [B, N, C]
+        idx, wx, wy, inside = res
+        wxe = wx[..., None].astype(g.dtype)  # [P, B, N, 1]
+        wye = wy[..., None].astype(g.dtype)
+        ge = g[None]  # broadcast over planes (sum_planes) / the one plane
+        d00 = ge * (1 - wye) * (1 - wxe)
+        d01 = ge * (1 - wye) * wxe
+        d10 = ge * wye * (1 - wxe)
+        d11 = ge * wye * wxe
+        cot = jnp.concatenate([d00, d01, d10, d11], axis=-1)  # [P, B, N, C4]
+        cot = cot * inside[..., None].astype(g.dtype)
         base = (jnp.arange(B, dtype=jnp.int32) * R)[None, :, None]
         gidx = (idx + base).reshape(-1)
-        dflat = jnp.zeros((B * R, C), g.dtype).at[gidx].add(g.reshape(-1, C))
-        return dflat.reshape(B, R, C), np.zeros(idx.shape, jax.dtypes.float0)
+        dflat = (
+            jnp.zeros((B * R, C4), tab_dtype)
+            .at[gidx]
+            .add(cot.reshape(-1, C4).astype(tab_dtype))
+            .reshape(B, R, C4)
+        )
+        return (dflat, np.zeros(idx.shape, jax.dtypes.float0),
+                jnp.zeros_like(wx), jnp.zeros_like(wy),
+                np.zeros(inside.shape, jax.dtypes.float0))
 
     f.defvjp(f_fwd, f_bwd)
     return f
 
 
-def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
+def sample_from_quad_table(coords: jax.Array, quad: jax.Array,
+                           coords_grad: bool = True) -> jax.Array:
     """Tri-plane bilinear sampling against a quad table (see build_triplane_quad_table).
 
     coords [B, N, 3] in [-1, 1]; quad [B, 3, H+1, W+1, 4C]. Returns [B, N, C].
     Exact same semantics as summing three zeros-padded align_corners=False
-    bilinear plane samples (dnnlib/util.py:580-600)."""
+    bilinear plane samples (dnnlib/util.py:580-600).
+
+    coords_grad=False selects the train-path fast form (per-image gather
+    chains + one fused-scatter backward, _fused_table_sampler) in which
+    coords are NON-differentiable (their cotangents are zero). The renderer
+    passes False — fine_z is stop_gradient'd and rays carry no parameters, so
+    the zero is exact there."""
     B, P, H1, W1, C4 = quad.shape
     H, W = H1 - 1, W1 - 1
     C = C4 // 4
@@ -317,11 +386,19 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
     plane_base = jnp.arange(3, dtype=jnp.int32)[:, None, None] * (H1 * W1)  # [3,1,1]
     idx = plane_base + yq * W1 + xq  # [3, B, N], in [0, 3*H1*W1)
 
-    rows = _split_gather_fused_scatter(B, 3 * H1 * W1, 3, N, C4)(
-        quad.reshape(B, 3 * H1 * W1, C4), idx
-    )
-    rows = rows * inside[..., None].astype(quad.dtype)
+    if not coords_grad:
+        # Train-path fast form: per-image gather chains + one fused scatter
+        # backward, coords non-differentiable (see _fused_table_sampler).
+        return _fused_table_sampler(B, 3 * H1 * W1, 3, N, C4, True,
+                                    str(quad.dtype))(
+            quad.reshape(B, 3 * H1 * W1, C4),
+            idx,
+            jax.lax.stop_gradient(wx[..., 0]),
+            jax.lax.stop_gradient(wy[..., 0]),
+            inside,
+        )
 
+    # Generic (coords differentiable) form: one fused take + epilogue.
     # Epilogue layout notes (measured, scan-amortized A/B on v5e): this
     # slice-and-lerp chain over flat 204-channel rows IS the fast form.
     # Rejected alternatives: (a) folding mask+lerp+plane-sum into one
@@ -330,14 +407,12 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array) -> jax.Array:
     # slicing — 2.2x slower (each 51-lane corner pads to its own register
     # tile, 2.5x the gather traffic); (c) masking the narrow per-plane output
     # instead of the wide rows — no change (XLA fuses the mask either way).
-    v00 = rows[..., :C]
-    v01 = rows[..., C : 2 * C]
-    v10 = rows[..., 2 * C : 3 * C]
-    v11 = rows[..., 3 * C :]
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
-    per_plane = top + (bot - top) * wy  # [3, B, N, C]
-    return per_plane.sum(axis=0)
+    flat = quad.reshape(B * 3 * H1 * W1, C4)
+    img_base = (jnp.arange(B, dtype=jnp.int32) * (3 * H1 * W1))[None, :, None]
+    rows = jnp.take(flat, (idx + img_base).reshape(-1), axis=0).reshape(
+        3, B, N, C4
+    )
+    return _quad_epilogue(rows, wx, wy, inside, sum_planes=True)
 
 
 def sample_from_triplane_fused(coords: jax.Array, planes: jax.Array) -> jax.Array:

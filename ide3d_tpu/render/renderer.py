@@ -181,7 +181,10 @@ class TriplaneRenderer:
 
         coords = coords * self.coord_scale
         fc = self.feature_channels
-        sampled = sample_from_quad_table(coords, quad)  # [B, N, fc+sc]
+        # coords_grad=False: fine_z is stop_gradient'd and rays are
+        # camera-only, so coordinate gradients are structurally zero — take
+        # the per-image-gather / fused-scatter fast form (ops/grid_sample.py).
+        sampled = sample_from_quad_table(coords, quad, coords_grad=False)
         feat, seg = sampled[..., :fc], sampled[..., fc:]
         if volume is not None:
             # hybrid tri-plane/voxel representation: add the 3D-grid features

@@ -184,7 +184,10 @@ def _sample_affine(images: jax.Array, A: jax.Array, Ho: int, Wo: int) -> jax.Arr
     gx, gy = jnp.meshgrid(xs, ys)
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1).reshape(1, Ho * Wo, 3)
     src = jnp.einsum("bij,bnj->bni", A, jnp.broadcast_to(grid, (B, Ho * Wo, 3)))
-    out = grid_sample_2d_quad(images, src[..., :2], align_corners=False)
+    # coords_grad=False: the warp grid is a parameter-free function of the
+    # sampled augmentation transform — only image gradients are needed.
+    out = grid_sample_2d_quad(images, src[..., :2], align_corners=False,
+                              coords_grad=False)
     return out.reshape(B, Ho, Wo, images.shape[-1])
 
 
