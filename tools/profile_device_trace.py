@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--num-steps", type=int, default=96)
     ap.add_argument("--what", choices=["train", "frame"], default="train")
     ap.add_argument("--logdir", default="/tmp/ide3d_trace")
+    ap.add_argument("--hlo", nargs="*", default=None,
+                    help="compiled-HLO text dump(s) to attribute op names to "
+                         "source_file:line (module-level budget)")
     args = ap.parse_args()
 
     if args.what == "train":
@@ -149,6 +152,35 @@ def main():
     print(f"\ntop {args.top} ops (ms/step):")
     for name, d in ops.most_common(args.top):
         print(f"  {d/1e3/args.steps:9.2f}  {name[:110]}")
+
+    if args.hlo:
+        # Join op names with source_file:line metadata from a compiled-HLO text
+        # dump (jit.lower(...).compile().as_text()) for a module-level budget.
+        src = {}
+        pat = re.compile(
+            r"%(\S+) = .*?source_file=\"([^\"]+)\".*?source_line=(\d+)")
+        for hlo_path in args.hlo:
+            with open(hlo_path) as f:
+                for line in f:
+                    m = pat.search(line)
+                    if m:
+                        name, fname, lineno = m.groups()
+                        src[name] = f"{os.path.basename(fname)}:{lineno}"
+        by_src = collections.Counter()
+        unattributed = collections.Counter()
+        for name, d in ops.items():
+            key = src.get(name)
+            if key is None:
+                unattributed[name] += d
+            else:
+                by_src[key] += d
+        print(f"\nby source line (ms/step, top {args.top}):")
+        for key, d in by_src.most_common(args.top):
+            print(f"  {d/1e3/args.steps:9.2f}  {key}")
+        un = sum(unattributed.values())
+        print(f"\nunattributed: {un/1e3/args.steps:.2f} ms/step; top:")
+        for name, d in unattributed.most_common(10):
+            print(f"  {d/1e3/args.steps:9.2f}  {name[:90]}")
 
 
 if __name__ == "__main__":
