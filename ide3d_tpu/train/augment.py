@@ -84,6 +84,12 @@ class AugmentConfig:
     # Static reflect-pad margin as a fraction of image width (replaces the
     # reference's dynamic per-batch corner margin, clamped there to width-1).
     wavelet_margin: float = 0.125
+    # Compute dtype of the in-loss warp/color pipeline. D itself casts its
+    # input to bfloat16 at entry (models/discriminator.py:64-68), so warping
+    # at bf16 loses nothing D ever sees while halving the augmentation's HBM
+    # traffic (the warp quad table + its gather/scatter are the D/G-phase's
+    # biggest non-renderer tensors: [B, 514, 514, 100] at the flagship shape).
+    compute_dtype: str = "bfloat16"
 
 
 def _bernoulli(key, p, shape):
@@ -337,17 +343,20 @@ def augment_d_input(
     loss for BOTH real and fake inputs with independent keys.
     """
     B, H, W, _ = img.shape
+    dt = jnp.dtype(cfg.compute_dtype)
     keys = jax.random.split(key, 16)
     G = _geometry_matrix(keys, p, cfg, B, W, H)
-    stack = jnp.concatenate([img, img_raw, seg], axis=-1)
+    stack = jnp.concatenate(
+        [img.astype(dt), img_raw.astype(dt), seg.astype(dt)], axis=-1)
     stack = _apply_warp(stack, G, cfg)
     img, img_raw, seg = stack[..., :3], stack[..., 3:6], stack[..., 6:]
-    Cm = _color_matrix(keys, p, cfg, B)
+    Cm = _color_matrix(keys, p, cfg, B).astype(dt)
     img = _apply_color(img, Cm)
     img_raw = _apply_color(img_raw, Cm)
     if cfg.cutout > 0:
         mask = _cutout_mask(jax.random.fold_in(keys[15], 23), p, cfg, B, H, W)[..., None]
-        img, img_raw, seg = img * mask, img_raw * mask, seg * mask
+        img, img_raw, seg = (img * mask.astype(dt), img_raw * mask.astype(dt),
+                             seg * mask.astype(dt))
     return img, img_raw, seg
 
 
