@@ -254,13 +254,30 @@ class PainterSession:
         return (np.asarray(self._img_u8(img[0])),
                 np.asarray(self._seg_u8(seg))[0])
 
-    def render_trajectory(self, traj_type: str = "orbit", stride: int = 1):
+    def render_trajectory(self, traj_type: str = "orbit", stride: int = 1,
+                          ws: Optional[jax.Array] = None):
         """freeview_render (run_UI.py:306-310): play a capture path on the
         current latent, yielding RGB uint8 frames (pose-only moves ride the
-        cached plane/quad table, so this is the fast path)."""
+        cached plane/quad table, so this is the fast path).
+
+        Passing an explicit `ws` renders that latent WITHOUT touching any
+        session state (no frame/quad cache writes) — the thread-safe snapshot
+        path: web_ui's orbit captures self.w under its lock, then renders the
+        whole trajectory outside it so edits aren't blocked for the duration."""
+        if ws is None:
+            for yaw, pitch in free_view_trajectory(traj_type)[::max(1, stride)]:
+                rgb, _ = self.view(yaw, pitch)
+                yield rgb
+            return
+        quad = (self._plane_quad_fn(self.g_params["synthesis"], ws)
+                if self._can_cache_quad else None)
         for yaw, pitch in free_view_trajectory(traj_type)[::max(1, stride)]:
-            rgb, _ = self.view(yaw, pitch)
-            yield rgb
+            c = self.camera(yaw, pitch)
+            if quad is not None:
+                img, _ = self._pose_frame(self.g_params["synthesis"], quad, ws, c)
+            else:
+                img, _ = self._render(self.g_params, ws, c)
+            yield np.asarray(self._img_u8(img[0]))
 
     # -------------------------------------------------------------- session log
 

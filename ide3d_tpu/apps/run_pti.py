@@ -30,6 +30,11 @@ def main(argv=None):
     ap.add_argument("--e4e", default=None,
                     help="e4e/pSp .pt checkpoint: first-stage w_type='e4e' pivots "
                          "(base_coach.py:181-199); takes precedence over --encoder")
+    ap.add_argument("--e4e-variant", default="auto",
+                    choices=("auto", "e4e", "gradual"),
+                    help="encoder architecture in the --e4e checkpoint "
+                         "(weight-isomorphic, so shapes can't tell them apart): "
+                         "'auto' reads opts.encoder_type and warns when guessing")
     ap.add_argument("--labels", default=None, help="json {fname: 25-dim pose}; default front")
     ap.add_argument("--opencv-labels", action="store_true",
                     help="--labels values are in the dataset.json OpenCV "
@@ -91,7 +96,8 @@ def main(argv=None):
     if args.e4e:
         from ..models.e4e import load_e4e, pivot_from_image
 
-        e4e_model, e4e_params, e4e_avg, e4e_report = load_e4e(args.e4e)
+        e4e_model, e4e_params, e4e_avg, e4e_report = load_e4e(
+            args.e4e, variant=args.e4e_variant)
         print(f"e4e: {e4e_report}")
         num_ws = G.num_ws
 

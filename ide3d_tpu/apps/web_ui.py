@@ -217,11 +217,18 @@ class PainterWebApp:
     """HTTP app over a PainterSession. Thread-safe via one lock (the session
     carries latent state across edits, like the Qt app's self.w)."""
 
+    # /api/edit frames kept for /api/session_video — bounded so a long-lived
+    # session can't grow host memory without limit (oldest frames drop first;
+    # 600 full-res 512^2 frames ≈ 470 MB, the practical stitching ceiling)
+    MAX_SESSION_FRAMES = 600
+
     def __init__(self, session):
         self.session = session
         self._lock = threading.Lock()
         self._last_seg_ids = None
-        self._session_frames = []  # every /api/edit render, for /api/session_video
+        from collections import deque
+
+        self._session_frames = deque(maxlen=self.MAX_SESSION_FRAMES)
 
     # ------------------------------------------------------------------ routes
 
@@ -284,8 +291,12 @@ class PainterWebApp:
         and returned as a video."""
         traj_type = payload.get("type", "orbit")
         stride = int(payload.get("stride", 1))
+        # snapshot the latent under the lock, render the (long) trajectory
+        # OUTSIDE it so concurrent edits aren't blocked for ~120 frames; the
+        # ws= path touches no session caches (painter.py render_trajectory)
         with self._lock:
-            frames = list(self.session.render_trajectory(traj_type, stride))
+            ws = self.session.w
+        frames = list(self.session.render_trajectory(traj_type, stride, ws=ws))
         return self._video_b64(frames)
 
     def session_video(self) -> dict:

@@ -74,17 +74,39 @@ class DiscriminatorBlock:
 
 
 def minibatch_stddev(x: jax.Array, group_size: int = 4, num_channels: int = 1) -> jax.Array:
-    """Contract: inversion/networks.py:1360-1381 (NHWC)."""
+    """Contract: inversion/networks.py:1360-1381 (NHWC).
+
+    Reference semantics: groups are STRIDED — after `x.reshape(G, n, ...)`
+    sample s belongs to group s mod n, and the `y.repeat(G, 1, H, W)`
+    scatter-back tiles the n-axis so out[s] = y[s mod n]
+    (inversion/networks.py:1378-1379; pinned against a torch oracle at
+    N > group_size in tests/test_import_parity.py).
+
+    TPU formulation: the group mean/variance are computed with a replicated
+    [N, N] group-membership matmul over a flat [N, H*W*C] view instead of the
+    reference's rank-6 reshape. Identical two-pass math (center, then average
+    the squares over the group), but the batch axis is never folded into a
+    group axis — under data-parallel pjit the reshape form forced SPMD into
+    "involuntary full rematerialization" resharding on the rank-6
+    intermediates inside R1's grad-of-grad (round-3 MULTICHIP artifact),
+    while the matmul form lowers to one small all-gather + MXU matmuls.
+    Every sample row directly receives its own group's statistic, so no
+    scatter-back is needed at all.
+    """
     N, H, W, C = x.shape
     G = min(group_size, N) if group_size is not None else N
     F = num_channels
     c = C // F
-    y = x.reshape(G, N // G, H, W, F, c).astype(jnp.float32)
-    y = y - y.mean(axis=0)
-    y = jnp.sqrt(jnp.mean(jnp.square(y), axis=0) + 1e-8)
-    y = y.mean(axis=(1, 2, 4))  # [n, F]
-    y = jnp.repeat(y[:, None, None, :], G, axis=0).reshape(N, 1, 1, F)
-    y = jnp.broadcast_to(y, (N, H, W, F)).astype(x.dtype)
+    n = N // G
+    idx = jnp.arange(N)
+    same_group = (idx[:, None] % n) == (idx[None, :] % n)
+    M = same_group.astype(jnp.float32) / G  # row s averages over group(s)
+    xf = x.reshape(N, H * W * C).astype(jnp.float32)
+    mean_g = M @ xf
+    var_g = M @ jnp.square(xf - mean_g)
+    std = jnp.sqrt(var_g + 1e-8)  # [N, HWC]; identical rows within a group
+    y = std.reshape(N, H, W, F, c).mean(axis=(1, 2, 4))  # [N, F]
+    y = jnp.broadcast_to(y[:, None, None, :], (N, H, W, F)).astype(x.dtype)
     return jnp.concatenate([x, y], axis=-1)
 
 

@@ -205,14 +205,15 @@ class E4eImportReport:
     num_params: int
 
 
-def import_e4e(sd: Dict[str, np.ndarray]) -> Tuple["E4eEncoder", dict, Optional[jnp.ndarray], E4eImportReport]:
+def import_e4e(sd: Dict[str, np.ndarray], variant: str = "e4e") -> Tuple["E4eEncoder", dict, Optional[jnp.ndarray], E4eImportReport]:
     """Import a pSp/e4e checkpoint state_dict (already flattened, torch layout).
 
     Accepts the full pSp checkpoint namespace ('encoder.*' + 'latent_avg', as in
     psp.py:10-14 get_keys) or a bare encoder state_dict. Infers stylegan_size
-    from the number of style heads. The variant cannot be inferred from shapes
-    (GradualStyleEncoder and Encoder4Editing are weight-isomorphic); defaults to
-    'e4e' — pass through `variant` on the returned model if known otherwise.
+    from the number of style heads. The variant CANNOT be inferred from shapes
+    (GradualStyleEncoder and Encoder4Editing are weight-isomorphic) — pass it
+    explicitly ('e4e' | 'gradual'); load_e4e can read it from the checkpoint's
+    'opts' payload.
     """
     from ..io.torch_import import state_dict_to_tree
 
@@ -223,21 +224,36 @@ def import_e4e(sd: Dict[str, np.ndarray]) -> Tuple["E4eEncoder", dict, Optional[
     if not enc:  # bare encoder state_dict
         enc = {k: v for k, v in sd.items() if k.split(".")[0] in
                ("input_layer", "body", "styles", "latlayer1", "latlayer2")}
+    if variant not in ("e4e", "gradual"):
+        raise ValueError(f"unknown e4e variant {variant!r} (want 'e4e'|'gradual')")
     n_styles = 1 + max(int(k.split(".")[1]) for k in enc if k.startswith("styles."))
     size = int(2 ** ((n_styles + 2) / 2))
-    model = E4eEncoder(stylegan_size=size)
+    model = E4eEncoder(stylegan_size=size, variant=variant)
     params = state_dict_to_tree(enc)
     n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
-    report = E4eImportReport("e4e", size, n_styles, latent_avg is not None, n)
+    report = E4eImportReport(variant, size, n_styles, latent_avg is not None, n)
     return model, params, latent_avg, report
 
 
-def load_e4e(path: str):
+# encoder_type strings used by the pSp/e4e training 'opts' payload
+# (pSp: encoders/psp_encoders.py GradualStyleEncoder; e4e: Encoder4Editing)
+_ENCODER_TYPE_TO_VARIANT = {
+    "Encoder4Editing": "e4e",
+    "GradualStyleEncoder": "gradual",
+}
+
+
+def load_e4e(path: str, variant: str = "auto"):
     """Load an e4e .pt checkpoint file -> (model, params, latent_avg, report).
 
     The e4e checkpoint keeps 'latent_avg' at TOP level beside 'state_dict'
     (psp.py __load_latent_avg reads ckpt['latent_avg']), so unwrap manually
-    instead of via load_torch_state_dict (which drops siblings)."""
+    instead of via load_torch_state_dict (which drops siblings).
+
+    variant='auto' reads the checkpoint's 'opts' payload (both repos persist
+    the training argparse namespace with an 'encoder_type' field); if absent
+    it WARNS and assumes 'e4e' — the two encoders are weight-isomorphic, so a
+    wrong guess silently produces wrong pivots. Pass 'e4e'/'gradual' to force."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -248,7 +264,20 @@ def load_e4e(path: str):
     for k, v in inner.items():
         if hasattr(v, "detach"):
             flat[k] = v.detach().cpu().numpy()
-    return import_e4e(flat)
+    if variant == "auto":
+        opts = obj.get("opts") if isinstance(obj, dict) else None
+        if not isinstance(opts, dict):
+            opts = vars(opts) if hasattr(opts, "__dict__") else {}
+        enc_type = str(opts.get("encoder_type", ""))
+        variant = _ENCODER_TYPE_TO_VARIANT.get(enc_type, "")
+        if not variant:
+            import warnings
+            warnings.warn(
+                f"{path}: checkpoint carries no recognizable opts.encoder_type "
+                "(pSp GradualStyleEncoder and Encoder4Editing are weight-"
+                "isomorphic) — assuming variant='e4e'. Pass variant= to force.")
+            variant = "e4e"
+    return import_e4e(flat, variant=variant)
 
 
 def pivot_from_image(model: E4eEncoder, params: dict, latent_avg: Optional[jax.Array],

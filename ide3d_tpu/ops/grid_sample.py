@@ -333,10 +333,15 @@ def _fused_table_sampler(B: int, R: int, P: int, N: int, C4: int,
         cot = (wq * g[None, ..., None, :]).reshape(*idx.shape, C4)
         base = (jnp.arange(B, dtype=jnp.int32) * R)[None, :, None]
         gidx = (idx + base).reshape(-1)
+        # Accumulate the scatter-add in f32 even for bf16 tables: under the
+        # bf16 ADA pipe this backward feeds R1's input gradients, and a bf16
+        # accumulation (3 overlapping rows per output row) loses ~2 bits of
+        # the penalty signal (ADVICE r3 #2). Cast to the table dtype after.
         dflat = (
-            jnp.zeros((B * R, C4), tab_dtype)
+            jnp.zeros((B * R, C4), jnp.float32)
             .at[gidx]
-            .add(cot.reshape(-1, C4).astype(tab_dtype))
+            .add(cot.reshape(-1, C4).astype(jnp.float32))
+            .astype(tab_dtype)
             .reshape(B, R, C4)
         )
         return (dflat, np.zeros(idx.shape, jax.dtypes.float0),

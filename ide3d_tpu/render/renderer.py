@@ -144,6 +144,7 @@ class TriplaneRenderer:
         seg_v: jax.Array,
         coords: jax.Array,
         volume: Optional[jax.Array] = None,
+        coords_grad: bool = False,
     ) -> jax.Array:
         """Contract: extract_shapes.py:146. coords [B,N,3] world -> [B,N,52],
         layout [feat(32) | seg(19) | sigma(1)].
@@ -154,9 +155,14 @@ class TriplaneRenderer:
         `volume` is the optional VolumeGAN voxel branch [B,D,H,W,feat] of the
         hybrid representation (models/feature_volume.py; contract
         inversion/networks.py:1853-1917): its trilinearly-sampled features are
-        ADDED to the tri-plane features before decoding."""
+        ADDED to the tri-plane features before decoding.
+
+        coords_grad=False (default) takes the fused-scatter fast path in which
+        COORDINATES ARE NOT DIFFERENTIABLE — their cotangents are silently
+        zero. Pass coords_grad=True when optimizing anything behind `coords`
+        (e.g. camera pose)."""
         return self._sample_52(params, self.build_table(img_v, seg_v), coords,
-                               volume=volume)
+                               volume=volume, coords_grad=coords_grad)
 
     def build_table(self, img_v: jax.Array, seg_v: jax.Array) -> jax.Array:
         """Quad table over the concatenated texture+semantic plane channels;
@@ -176,15 +182,19 @@ class TriplaneRenderer:
         quad: jax.Array,
         coords: jax.Array,
         volume: Optional[jax.Array] = None,
+        coords_grad: bool = False,
     ) -> jax.Array:
         from ..ops.grid_sample import sample_from_3dgrid, sample_from_quad_table
 
         coords = coords * self.coord_scale
         fc = self.feature_channels
-        # coords_grad=False: fine_z is stop_gradient'd and rays are
-        # camera-only, so coordinate gradients are structurally zero — take
-        # the per-image-gather / fused-scatter fast form (ops/grid_sample.py).
-        sampled = sample_from_quad_table(coords, quad, coords_grad=False)
+        # coords_grad=False (the train-path default): fine_z is
+        # stop_gradient'd and rays are camera-only, so coordinate gradients
+        # are structurally zero — take the per-image-gather / fused-scatter
+        # fast form (ops/grid_sample.py), whose custom_vjp returns ZERO
+        # coordinate cotangents. Callers differentiating through coords
+        # (pose optimization) must pass coords_grad=True.
+        sampled = sample_from_quad_table(coords, quad, coords_grad=coords_grad)
         feat, seg = sampled[..., :fc], sampled[..., fc:]
         if volume is not None:
             # hybrid tri-plane/voxel representation: add the 3D-grid features
@@ -208,6 +218,9 @@ class TriplaneRenderer:
         quad: Optional[jax.Array] = None,  # prebuilt table (build_table), cached
         # per identity by interactive callers (apps/viz_renderer.py)
         ray_slice: Optional[Tuple[jax.Array, int]] = None,
+        coords_grad: bool = False,  # False = fused-scatter fast path; sample
+        # COORDINATES (and thus camera pose) are NOT differentiable (zero
+        # cotangents). Set True to optimize through the camera.
     ) -> dict:
         """Phase 1: quad table + coarse pass (+ importance z when hierarchical).
 
@@ -247,7 +260,8 @@ class TriplaneRenderer:
 
         if quad is None:
             quad = self.build_table(img_v, seg_v)  # shared by coarse + fine passes
-        coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3), volume=volume)
+        coarse = self._sample_52(params, quad, pts.reshape(B, Rr * S, 3),
+                                 volume=volume, coords_grad=coords_grad)
         coarse = coarse.reshape(B, Rr, S, self.out_channels)
 
         st = {
@@ -277,12 +291,16 @@ class TriplaneRenderer:
         return st
 
     def render_fine(
-        self, params: dict, st: dict, rp: RenderParams, flat: bool = False
+        self, params: dict, st: dict, rp: RenderParams, flat: bool = False,
+        coords_grad: bool = False,
     ) -> dict:
         """Phase 2: fine pass + depth sort + compositing. Consumes render_coarse
         output; returns the `render` result dict. `flat=True` keeps the ray axis
         unreshaped ([B, Rr, C] instead of [B, H, W, C]) — required when the
-        coarse pass rendered a `ray_slice` block (parallel/render.py)."""
+        coarse pass rendered a `ray_slice` block (parallel/render.py).
+        `coords_grad` must match the render_coarse call (static Python flag,
+        kept out of the traced `st` pytree); the default False fast path has
+        ZERO coordinate/camera cotangents (see sample_voxel)."""
         coarse, z_vals = st["coarse"], st["z_vals"]
         rays_d_cam = st["rays_d_cam"]
         B, Rr, S, _ = coarse.shape
@@ -295,7 +313,8 @@ class TriplaneRenderer:
             F = fine_z.shape[2]
             fine_pts = st["origins"][:, :, None, :] + st["dirs"][:, :, None, :] * fine_z
             fine = self._sample_52(
-                params, st["quad"], fine_pts.reshape(B, Rr * F, 3), volume=volume
+                params, st["quad"], fine_pts.reshape(B, Rr * F, 3), volume=volume,
+                coords_grad=coords_grad,
             )
             fine = fine.reshape(B, Rr, F, self.out_channels)
 
@@ -352,12 +371,18 @@ class TriplaneRenderer:
         rp: RenderParams,
         key: Optional[jax.Array] = None,
         volume: Optional[jax.Array] = None,  # hybrid voxel branch [B,D,H,W,feat]
+        coords_grad: bool = False,
     ) -> dict:
         """Volume-render feature image + semantics + depth at rp.img_size.
 
         Returns dict(feature [B,H,W,32], seg [B,H,W,19], depth [B,H,W,1],
         weights_sum [B,H,W,1]).
+
+        coords_grad=False (default, the train path): sample coordinates — and
+        therefore the camera pose behind them — are NOT differentiable; the
+        fused-scatter fast path returns zero coordinate cotangents. Pass
+        coords_grad=True to optimize through `cam2world`.
         """
         st = self.render_coarse(params, img_v, seg_v, cam2world, rp, key=key,
-                                volume=volume)
-        return self.render_fine(params, st, rp)
+                                volume=volume, coords_grad=coords_grad)
+        return self.render_fine(params, st, rp, coords_grad=coords_grad)

@@ -77,6 +77,70 @@ def test_gan_train_step_updates_params():
     assert np.abs(ema - w_before).max() < np.abs(w_after - w_before).max() + 1e-9
 
 
+def test_batched_d_matches_two_calls():
+    """The D phase's single batched application over interleaved fake/real rows
+    must produce EXACTLY the logits of two separate D calls at the production
+    batch (round-3 VERDICT Weak #2): interleaving keeps minibatch_stddev's
+    STRIDED groups (s ≡ b mod n) single-half when B % group_size == 0, whereas
+    a plain concat mixes fake and real inside every group."""
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=6, channel_base=512, channel_max=32,
+        dtype="float32"))
+    params = jax.jit(D.init)(jax.random.PRNGKey(0))
+    B = 8  # production batch; group_size = 4
+    rng = np.random.RandomState(7)
+    fake = jnp.asarray(rng.randn(B, 32, 32, 6).astype(np.float32) * 0.3)
+    real = jnp.asarray(rng.randn(B, 32, 32, 6).astype(np.float32) * 0.3)
+    c = jnp.asarray(rng.randn(B, 25).astype(np.float32))
+
+    lf_sep = np.asarray(D(params, fake, c))
+    lr_sep = np.asarray(D(params, real, c))
+
+    # the interleave construction train/gan.py d_loss_fn uses
+    both = jnp.stack([fake, real], axis=1).reshape((-1,) + fake.shape[1:])
+    logits = np.asarray(D(params, both, jnp.repeat(c, 2, axis=0)))
+    np.testing.assert_allclose(logits[0::2], lf_sep, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(logits[1::2], lr_sep, rtol=1e-5, atol=1e-5)
+
+    # the concat form is NOT equivalent (mixed stddev groups) — guards against
+    # "simplifying" the interleave away
+    cat = jnp.concatenate([fake, real], axis=0)
+    logits_cat = np.asarray(D(params, cat, jnp.concatenate([c, c], axis=0)))
+    assert np.abs(logits_cat[:B] - lf_sep).max() > 1e-6
+
+
+def test_gan_train_step_fake_reuse_false():
+    """The D-first fake_reuse=False leg (fresh z in the D phase, G updates vs
+    the updated D) — pinned so the config branch stays live (round-3 Weak #9).
+    B=2 also exercises the two-separate-D-calls fallback (B % group_size != 0)."""
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1, fake_reuse=False)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    state_s = jax.tree_util.tree_map(jnp.copy, state)
+    w_before = np.asarray(state.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    batch = make_batch(2, 32)
+
+    step = make_gan_train_step(G, D, tcfg)
+    state2, stats = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state2.step) == 1
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    w_after = np.asarray(state2.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    assert np.abs(w_after - w_before).max() > 0
+
+    # split compilation of the same leg stays bit-compatible
+    step_s = make_gan_train_step(G, D, tcfg, split=True)
+    state2_s, stats_s = step_s(state_s, batch, jax.random.PRNGKey(1))
+    assert set(stats_s) == set(stats)
+    for k in stats:
+        np.testing.assert_allclose(np.asarray(stats_s[k]), np.asarray(stats[k]),
+                                   atol=1e-5, rtol=1e-4, err_msg=k)
+
+
 def test_gan_train_step_split_matches_fused():
     """split=True (two chained XLA programs, the production-throughput path)
     must be numerically equivalent to the fused single-program step: same
