@@ -617,8 +617,12 @@ def load_network_pkl(path: str, **gen_kwargs) -> dict:
     """Reference .pkl -> dict of imported framework networks (legacy.py:22-63
     semantics, minus TF1-era conversion). Returns
     {'G'|'G_ema': (G, params, report), 'D': (...), 'E': (...)} for each entry whose
-    tensors deserialize."""
+    tensors deserialize. TF1-era pickles — a (G, D, Gs) tuple of tflib Network
+    states (legacy.py:27-33) — are converted through io/tf_legacy.py first."""
     payload = load_pickle_tensors(path)
+    from .tf_legacy import convert_tf_payload, is_tf_legacy_payload
+    if is_tf_legacy_payload(payload):
+        return convert_tf_payload(payload)
     sds = pickle_payload_to_state_dicts(payload)
     out = {}
     # w_dim is not recoverable from an encoder state dict alone (projector rows

@@ -140,7 +140,7 @@ def grid_sample_2d_quad(
         # ADA-warp fast form: coords are the augmentation grid (no parameters
         # behind them) -> per-image chains + fused-scatter image gradient.
         return _fused_table_sampler(B, Hp * Wp, 1, N, 4 * C, False,
-                                    str(image.dtype))(
+                                    str(image.dtype), acc_f32=True)(
             quad.reshape(B, Hp * Wp, 4 * C),
             idx[None],
             jax.lax.stop_gradient(wx[..., 0])[None],
@@ -271,7 +271,8 @@ def _quad_epilogue(rows, wx, wy, inside, sum_planes: bool):
 
 @functools.lru_cache(maxsize=None)
 def _fused_table_sampler(B: int, R: int, P: int, N: int, C4: int,
-                         sum_planes: bool, tab_dtype: str):
+                         sum_planes: bool, tab_dtype: str,
+                         acc_f32: bool = True):
     """Quad-table sample with the whole gather+mask+lerp(+plane-sum) chain under
     ONE custom_vjp — the no-coordinate-gradient fast path of the two quad ops.
 
@@ -333,14 +334,21 @@ def _fused_table_sampler(B: int, R: int, P: int, N: int, C4: int,
         cot = (wq * g[None, ..., None, :]).reshape(*idx.shape, C4)
         base = (jnp.arange(B, dtype=jnp.int32) * R)[None, :, None]
         gidx = (idx + base).reshape(-1)
-        # Accumulate the scatter-add in f32 even for bf16 tables: under the
-        # bf16 ADA pipe this backward feeds R1's input gradients, and a bf16
-        # accumulation (3 overlapping rows per output row) loses ~2 bits of
-        # the penalty signal (ADVICE r3 #2). Cast to the table dtype after.
+        # Accumulation dtype is the caller's call (acc_f32):
+        #   * ADA image sampler (grid_sample_2d_quad): f32 even for bf16
+        #     tables — under the bf16 ADA pipe this backward feeds R1's input
+        #     gradients, and a bf16 accumulation loses ~2 bits of the penalty
+        #     signal (ADVICE r3 #2).
+        #   * tri-plane sampler (sample_from_quad_table): TABLE dtype. R1
+        #     never reaches the tri-planes (it regularizes D on real images),
+        #     and the f32 scatter + operand relayout of the [4.7M, 204] f32
+        #     cotangents was ~240 ms/step of the flagship train step — the
+        #     round-4 device trace's single largest line (PERF.md round-4).
+        acc = jnp.float32 if acc_f32 else jnp.dtype(tab_dtype)
         dflat = (
-            jnp.zeros((B * R, C4), jnp.float32)
+            jnp.zeros((B * R, C4), acc)
             .at[gidx]
-            .add(cot.reshape(-1, C4).astype(jnp.float32))
+            .add(cot.reshape(-1, C4).astype(acc))
             .astype(tab_dtype)
             .reshape(B, R, C4)
         )
@@ -397,8 +405,11 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array,
     if not coords_grad:
         # Train-path fast form: per-image gather chains + one fused scatter
         # backward, coords non-differentiable (see _fused_table_sampler).
+        # acc_f32=False: the backward scatter accumulates in the TABLE dtype —
+        # R1 never differentiates through the tri-planes, and the f32 scatter
+        # was the train step's hottest op (see _fused_table_sampler notes).
         return _fused_table_sampler(B, 3 * H1 * W1, 3, N, C4, True,
-                                    str(quad.dtype))(
+                                    str(quad.dtype), acc_f32=False)(
             quad.reshape(B, 3 * H1 * W1, C4),
             idx,
             jax.lax.stop_gradient(wx[..., 0]),

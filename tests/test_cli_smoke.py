@@ -161,3 +161,45 @@ def test_infer_face_animation_cli(tiny_ckpt, tmp_path):
     assert not rc
     written = [f for f in os.listdir(tmp_path) if f.startswith("anim")]
     assert written, "face animation wrote no output"
+
+
+def test_edit_comparison_cli(tiny_ckpt, tmp_path):
+    """Qualitative edit-comparison harness (reference
+    inversion/evaluation/qualitative_edit_comparison.py): recon + ladders of
+    InterFaceGAN/GANSpace edits per method, single + concat outputs."""
+    import PIL.Image
+
+    from ide3d_tpu.apps.edit_comparison import main
+    from ide3d_tpu.io.checkpoint import save_pytree_npz
+
+    rs = np.random.RandomState(3)
+    img_dir = tmp_path / "targets"
+    os.makedirs(img_dir)
+    PIL.Image.fromarray(rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "face.png")
+    # a latent_creator-style method dir: one w+ pivot for the image
+    from ide3d_tpu.apps.common import load_generator
+
+    G, _ = load_generator(tiny_ckpt)
+    lat_dir = tmp_path / "lat_sg2"
+    os.makedirs(lat_dir)
+    save_pytree_npz(str(lat_dir / "face.npz"),
+                    {"ws": rs.randn(1, G.num_ws, 512).astype(np.float32)})
+    dirs_npz = str(tmp_path / "directions.npz")
+    np.savez(dirs_npz, age=rs.randn(512).astype(np.float32))
+
+    out = str(tmp_path / "cmp")
+    rc = main([
+        "--network", tiny_ckpt, "--images", str(img_dir),
+        "--latents", f"SG2={lat_dir}", "--directions", dirs_npz,
+        "--interfacegan-max", "1.0", "--interfacegan-step", "1.0",
+        "--ganspace-components", "1", "--ganspace-factors=-5,6,5",
+        "--outdir", out,
+    ])
+    assert not rc
+    single = os.listdir(os.path.join(out, "face", "single_images"))
+    concat = os.listdir(os.path.join(out, "face", "concat_images"))
+    assert "Original.jpg" in single
+    assert "rec.jpg" in concat
+    assert any(f.startswith("age_") for f in concat)
+    assert any(f.startswith("ganspace_c0_") for f in concat)
