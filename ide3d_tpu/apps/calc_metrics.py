@@ -23,7 +23,29 @@ def main(argv=None):
                     help="torch state_dict (.pth) for the chosen detector")
     ap.add_argument("--cache-dir", default=".metric_cache")
     ap.add_argument("--run-dir", default=None)
+    ap.add_argument("--mesh-devices", type=int, default=0,
+                    help="shard extraction over an n-device 'data' mesh "
+                         "(the reference's NCCL-rank feature sharding, "
+                         "metric_utils.py:209-259)")
+    ap.add_argument("--mesh-platform", choices=["native", "cpu"],
+                    default="native",
+                    help="'cpu' forces n VIRTUAL CPU devices (machinery "
+                         "validation on a single-accelerator host); 'native' "
+                         "uses the runtime's real devices")
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.mesh_devices:
+        import jax
+
+        if args.mesh_platform == "cpu":
+            # virtual CPU devices; must precede the first backend touch (the
+            # sitecustomize axon preset clobbers env-var overrides)
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.mesh_devices)
+        from ..parallel import create_mesh
+
+        mesh = create_mesh(args.mesh_devices)
 
     from ..metrics import calc_metric
     from ..metrics.features import make_detector
@@ -48,7 +70,7 @@ def main(argv=None):
             metric.strip(), run_dir=args.run_dir, G=G, g_params=g_params,
             dataset=dataset, detector=det, detector_params=dp,
             num_items=args.num_items, batch_size=args.batch,
-            cache_dir=args.cache_dir,
+            cache_dir=args.cache_dir, mesh=mesh,
         )
         print(json.dumps(rec, default=float))
 

@@ -92,8 +92,29 @@ def load_generator(network: str):
     from ..models import GeneratorConfig, Ide3dGenerator
 
     if network.startswith("random"):
-        seed = int(network.split(":")[1]) if ":" in network else 0
-        G = Ide3dGenerator(GeneratorConfig())
+        parts = network.split(":")
+        seed = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+        # `random:<seed>[:tiny|small]` — reduced configs (matching the
+        # train_gan presets) for CPU-mesh machinery runs (e.g. sharded 50k
+        # metric extraction) where the flagship G would be CPU-prohibitive.
+        preset = parts[2] if len(parts) > 2 else "full"
+        from ..render.renderer import RenderParams
+
+        if preset == "tiny":
+            cfg = GeneratorConfig(
+                img_resolution=32, render_size=8, plane_resolution=16,
+                channel_base=512, channel_max=32, sr_channel_base=256,
+                sr_channel_max=16, feature_channels=8, dtype="float32",
+                render=RenderParams(img_size=8, num_steps=4))
+        elif preset == "small":
+            cfg = GeneratorConfig(
+                img_resolution=64, render_size=16, plane_resolution=64,
+                channel_base=8192, channel_max=128, sr_channel_base=4096,
+                sr_channel_max=64, feature_channels=16, dtype="float32",
+                render=RenderParams(img_size=16, num_steps=12))
+        else:
+            cfg = GeneratorConfig()
+        G = Ide3dGenerator(cfg)
         # jit the init: one compiled program instead of hundreds of tunneled dispatches
         params = jax.jit(G.init)(jax.random.PRNGKey(seed))
         return G, params

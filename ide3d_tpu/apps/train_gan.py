@@ -37,6 +37,11 @@ def main(argv=None):
                          "memorizes a tiny dataset and rt pins above target; "
                          "TRAINING.md)")
     ap.add_argument("--no-ada", action="store_true")
+    ap.add_argument("--wavelet-aa", action="store_true",
+                    help="reference-parity sym6 wavelet anti-aliasing around "
+                         "the ADA geometric warp (training/augment.py:172); "
+                         "default is the direct bilinear warp (measured A/B "
+                         "in PERF.md)")
     ap.add_argument("--r1-gamma", type=float, default=1.0)
     ap.add_argument("--pl-weight", type=float, default=0.0,
                     help="StyleGAN2 path-length regularization weight (0 = off)")
@@ -104,8 +109,11 @@ def main(argv=None):
         )
     else:
         gcfg = GeneratorConfig(img_resolution=args.resolution)
+    from ..train.augment import AugmentConfig
+
     tcfg = GanTrainConfig(r1_gamma=args.r1_gamma, use_ada=not args.no_ada,
-                          pl_weight=args.pl_weight)
+                          pl_weight=args.pl_weight,
+                          aug=AugmentConfig(wavelet_aa=args.wavelet_aa))
     G = Ide3dGenerator(gcfg)
     D = Discriminator(
         DiscriminatorConfig(

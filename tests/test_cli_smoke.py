@@ -203,3 +203,16 @@ def test_edit_comparison_cli(tiny_ckpt, tmp_path):
     assert "rec.jpg" in concat
     assert any(f.startswith("age_") for f in concat)
     assert any(f.startswith("ganspace_c0_") for f in concat)
+
+
+def test_load_generator_random_presets():
+    """`random:<seed>[:tiny|small]` network specs build reduced configs
+    (CPU-mesh machinery runs, e.g. sharded 50k metric extraction)."""
+    from ide3d_tpu.apps.common import load_generator
+
+    G, params = load_generator("random:0:tiny")
+    assert G.cfg.img_resolution == 32 and G.cfg.render.num_steps == 4
+    Gs, _ = load_generator("random:1:small")
+    assert Gs.cfg.img_resolution == 64 and Gs.cfg.plane_resolution == 64
+    Gf, _ = load_generator("random:0")
+    assert Gf.cfg.img_resolution == 512
