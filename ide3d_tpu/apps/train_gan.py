@@ -130,7 +130,9 @@ def main(argv=None):
 
     dataset = CameraLabeledDataset(args.data, args.seg, resolution=args.resolution,
                                    xflip=True)
-    loader = infinite_loader(dataset, args.batch, seed=args.seed)
+    # compact wire batches (uint8 img + uint8 seg indices, ~22x fewer bytes);
+    # the train step expands them on device (train/gan.py expand_compact_batch)
+    loader = infinite_loader(dataset, args.batch, seed=args.seed, compact=True)
 
     if args.resume:
         # restore INTO a freshly-initialized state: orbax needs the template to

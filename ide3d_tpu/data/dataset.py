@@ -241,6 +241,7 @@ def infinite_loader(
     shuffle: bool = True,
     host_id: int = 0,
     num_hosts: int = 1,
+    compact: bool = False,
 ) -> Iterator[dict]:
     """Infinite host-sharded batch iterator.
 
@@ -248,11 +249,42 @@ def infinite_loader(
     apps/train_hybrid_encoder.py:221-226): a seeded epoch permutation, sliced
     host_id::num_hosts, repeated forever. Yields dict(img [B,H,W,3] float32 in
     [-1,1], seg [B,H,W,19] in {-1,1}, c [B,25]).
+
+    compact=True yields the WIRE format instead — img uint8 [B,H,W,3], seg
+    uint8 class indices [B,H,W] — for on-device expansion via
+    train.gan.expand_compact_batch. The f32 one-hot batch is 512^2 is ~22x
+    the bytes of the compact one (87 MB vs 4 MB at batch 4); host->device
+    transfer was the training-loop bottleneck on a tunneled link and is the
+    dominant PCIe cost on a real host. The reference DataLoader ships uint8
+    to the GPU and normalizes there too (training_loop.py phase-data path).
     """
     n = len(dataset)
     rng = np.random.RandomState(seed)
     order = np.arange(n)
     pos = 0
+    if compact:
+        assert hasattr(dataset, "raw_item"), "compact loader needs raw_item"
+        while True:
+            imgs, segs, labels = [], [], []
+            while len(imgs) < batch_size:
+                if pos == 0 and shuffle:
+                    rng.shuffle(order)
+                idx = int(order[(pos * num_hosts + host_id) % n])
+                pos = (pos + 1) % max(n // max(num_hosts, 1), 1)
+                img, mask, label, flip = dataset.raw_item(idx)
+                if flip:
+                    img = img[:, ::-1]
+                    if mask is not None:
+                        mask = mask[:, ::-1]
+                imgs.append(np.ascontiguousarray(img))
+                if mask is not None:
+                    segs.append(np.ascontiguousarray(mask.astype(np.uint8)))
+                labels.append(label)
+            batch = {"img": np.stack(imgs),
+                     "c": np.stack(labels).astype(np.float32)}
+            if segs:
+                batch["seg"] = np.stack(segs)
+            yield batch
     while True:
         imgs, segs, labels = [], [], []
         while len(imgs) < batch_size:

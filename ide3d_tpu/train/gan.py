@@ -80,6 +80,26 @@ class GanTrainState(NamedTuple):
     # initialization at import time (init_gan_state provides the array)
 
 
+def expand_compact_batch(batch: Dict[str, jax.Array],
+                         num_classes: int = 19) -> Dict[str, jax.Array]:
+    """Wire-format batch (img uint8 [B,H,W,3], seg uint8 class indices
+    [B,H,W]) -> the train-step contract (img f32 in [-1,1], seg f32 one-hot
+    in {-1,1}). Jit this and run it ON DEVICE: the f32 one-hot batch is ~22x
+    the compact one's bytes at 512^2 (87 MB vs 4 MB at batch 4), and shipping
+    it host->device was measured as the training-loop bottleneck on a
+    tunneled link (1.2 imgs/s vs the 6.1 imgs/s device-bound step; PERF.md
+    round 4). The reference DataLoader likewise ships uint8 and normalizes on
+    the accelerator (training_loop.py phase-data path). No-op for keys
+    already in the step format, so callers can pass either layout."""
+    out = dict(batch)
+    if out["img"].dtype == jnp.uint8:
+        out["img"] = out["img"].astype(jnp.float32) / 127.5 - 1.0
+    seg = out.get("seg")
+    if seg is not None and seg.dtype == jnp.uint8:
+        out["seg"] = jax.nn.one_hot(seg, num_classes, dtype=jnp.float32) * 2.0 - 1.0
+    return out
+
+
 def d_input_channels(tcfg: GanTrainConfig, gcfg: GeneratorConfig) -> int:
     ch = gcfg.img_channels * 2  # rgb ++ upsampled raw rgb
     if tcfg.use_seg_d:
@@ -311,6 +331,9 @@ def make_gan_train_step(
 
         With tcfg.fake_reuse the G phase's stop-gradient fakes arrive via
         `fake_triple` and no synthesis runs here (params_g is unused)."""
+        # uint8 wire batches expand on device (fused into this program; no-op
+        # for f32 batches) — see expand_compact_batch.
+        batch = expand_compact_batch(batch, G.cfg.seg_channels)
         _kz_g, kz_d, _kr_g, kr_d, _kr_pl, kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
         z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
@@ -345,6 +368,7 @@ def make_gan_train_step(
         """G update vs the UPDATED D, + lazy PL reg, w_avg EMA, G_ema.
 
         Returns (params_g, opt_g, ema, pl_mean, stats)."""
+        batch = expand_compact_batch(batch, G.cfg.seg_channels)
         kz_g, _kz_d, kr_g, _kr_d, kr_pl, _kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
         z_g = jax.random.normal(kz_g, (B, G.cfg.z_dim))

@@ -168,3 +168,25 @@ def test_align_crop_scale_translation_invariance():
     a, b = out1.astype(np.float32), out2.astype(np.float32)
     assert np.abs(a - b).mean() < 12.0
     assert a.max() > 50  # the face actually landed inside the crop
+
+
+def test_infinite_loader_compact(toy_dataset):
+    """compact=True yields the uint8 wire format, and device-side expansion
+    (train.gan.expand_compact_batch) reproduces the legacy f32 batch exactly."""
+    import jax
+
+    from ide3d_tpu.train.gan import expand_compact_batch
+
+    root, segroot = toy_dataset
+    ds = CameraLabeledDataset(root, segroot, resolution=32)
+    full = next(infinite_loader(ds, 4, seed=3, shuffle=False))
+    comp = next(infinite_loader(ds, 4, seed=3, shuffle=False, compact=True))
+    assert comp["img"].dtype == np.uint8 and comp["img"].shape == (4, 32, 32, 3)
+    assert comp["seg"].dtype == np.uint8 and comp["seg"].shape == (4, 32, 32)
+    exp = jax.jit(expand_compact_batch)(comp)
+    np.testing.assert_allclose(np.asarray(exp["img"]), full["img"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(exp["seg"]), full["seg"])
+    np.testing.assert_allclose(np.asarray(exp["c"]), full["c"])
+    # expansion is a no-op on batches already in the step format
+    exp2 = expand_compact_batch(dict(full))
+    np.testing.assert_array_equal(np.asarray(exp2["seg"]), full["seg"])

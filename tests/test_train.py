@@ -725,3 +725,33 @@ def test_painter_view_cached_quad_matches_fused():
     # identical up to the uint8 rounding of numerically-equal floats
     assert np.abs(img_fast.astype(int) - img_ref.astype(int)).max() <= 1
     assert np.abs(seg_fast.astype(int) - seg_ref.astype(int)).max() <= 1
+
+
+def test_gan_train_step_compact_batch_equivalence():
+    """The step traced with a uint8 wire batch (expand_compact_batch fused
+    into the phase programs) matches the step on the pre-expanded f32 batch
+    bit-for-bit — the compact path changes bytes on the wire, not math."""
+    from ide3d_tpu.train.gan import expand_compact_batch
+
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1)
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    rng = np.random.RandomState(7)
+    compact = {
+        "img": jnp.asarray(rng.randint(0, 256, (2, 32, 32, 3), np.uint8)),
+        "seg": jnp.asarray(rng.randint(0, 19, (2, 32, 32), np.uint8)),
+        "c": jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (2, 25)),
+    }
+    full = expand_compact_batch(compact)
+    step = make_gan_train_step(G, D, tcfg)
+    s0 = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    s1 = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    _, stats_c = step(s0, compact, jax.random.PRNGKey(5), 0.3)
+    _, stats_f = step(s1, full, jax.random.PRNGKey(5), 0.3)
+    for k in stats_f:
+        a, b = np.asarray(stats_c[k]), np.asarray(stats_f[k])
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=0, atol=0, err_msg=k)
