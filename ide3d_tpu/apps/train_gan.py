@@ -219,6 +219,7 @@ def main(argv=None):
     next_grid = cur_img
     t_start = time.time()
     key = jax.random.PRNGKey(args.seed + 1)
+    sign_buf = []  # deferred-readback ADA sign statistics (see below)
 
     while cur_img < args.kimg * 1000:
         batch = next(loader)
@@ -236,9 +237,17 @@ def main(argv=None):
 
         acc.update({k: v for k, v in stats.items()})
         if not args.no_ada:
-            # per-sample sign statistic computed in-jit over the global batch
-            ada = ada_accumulate(ada, float(np.asarray(stats["real_signs"])), args.batch)
+            # per-sample sign statistic computed in-jit over the global batch.
+            # Buffer the DEVICE array and force it only at the controller's
+            # 4-step update boundary: a per-step float() readback serializes
+            # host and device (each iteration pays dispatch RTT + full step
+            # latency; measured ~17% of the tunneled flagship loop, PERF.md
+            # round 4) — deferring keeps 4 steps in flight.
+            sign_buf.append(stats["real_signs"])
             if (cur_img // args.batch) % 4 == 0:
+                for s in sign_buf:
+                    ada = ada_accumulate(ada, float(np.asarray(s)), args.batch)
+                sign_buf.clear()
                 ada = ada_update(ada, args.batch * 4, target=args.ada_target,
                                  speed_kimg=args.ada_speed, p_max=args.ada_pmax)
                 ada_p = float(ada.p)
