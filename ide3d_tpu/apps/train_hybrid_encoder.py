@@ -127,7 +127,9 @@ def main(argv=None):
         from ..data import CameraLabeledDataset, infinite_loader
 
         ds = CameraLabeledDataset(args.data, args.seg, resolution=R)
-        loader = infinite_loader(ds, args.batch, seed=args.seed)
+        # compact uint8 wire batches, expanded on device inside the jitted
+        # step (train/gan.py expand_compact_batch; ~22x fewer H2D bytes)
+        loader = infinite_loader(ds, args.batch, seed=args.seed, compact=True)
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()

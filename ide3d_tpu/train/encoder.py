@@ -94,6 +94,10 @@ def make_encoder_train_step(
         return ws
 
     def loss_fn(params_e, g_params, bp, batch, rng):
+        # uint8 wire batches expand on device (fused; no-op for f32 batches)
+        from .gan import expand_compact_batch
+
+        batch = expand_compact_batch(batch, G.cfg.seg_channels)
         stats: Dict[str, jax.Array] = {}
         total = jnp.zeros(())
         k_z, k_noise = jax.random.split(rng)

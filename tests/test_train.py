@@ -755,3 +755,36 @@ def test_gan_train_step_compact_batch_equivalence():
         a, b = np.asarray(stats_c[k]), np.asarray(stats_f[k])
         assert np.isfinite(a).all() and np.isfinite(b).all()
         np.testing.assert_allclose(a, b, rtol=0, atol=0, err_msg=k)
+
+
+def test_encoder_train_step_compact_batch():
+    """Encoder step on a uint8 wire batch == step on the expanded f32 batch."""
+    from ide3d_tpu.train.gan import expand_compact_batch
+
+    gcfg = tiny_gcfg()
+    G = Ide3dGenerator(gcfg)
+    g_params = G.init(jax.random.PRNGKey(0))
+    n_geo = G.synthesis.num_ws_geo
+    E = HybridEncoder(size=gcfg.img_resolution, n_latents_app=G.num_ws - n_geo,
+                      n_latents_geo=n_geo, w_dim=gcfg.w_dim)
+    bis = BiSeNet(n_classes=20)
+    bp = bis.init(jax.random.PRNGKey(3))
+    tcfg = EncoderTrainConfig()
+    rng = np.random.RandomState(11)
+    compact = {
+        "img": jnp.asarray(rng.randint(0, 256, (2, 32, 32, 3), np.uint8)),
+        "seg": jnp.asarray(rng.randint(0, 19, (2, 32, 32), np.uint8)),
+        "c": jnp.broadcast_to(jnp.asarray(render.CANONICAL_POSE_25), (2, 25)),
+    }
+    step = make_encoder_train_step(E, G, tcfg, bisenet=bis)
+    s0 = init_encoder_state(jax.random.PRNGKey(1), E, tcfg)
+    s1 = init_encoder_state(jax.random.PRNGKey(1), E, tcfg)
+    _, stats_c = step(s0, g_params, bp, compact, jax.random.PRNGKey(2))
+    _, stats_f = step(s1, g_params, bp, expand_compact_batch(compact),
+                      jax.random.PRNGKey(2))
+    for k in stats_f:
+        # not bit-identical: the reference leg expands EAGERLY (outside jit),
+        # and the fused in-program expansion rounds /127.5 differently
+        np.testing.assert_allclose(np.asarray(stats_c[k]),
+                                   np.asarray(stats_f[k]), rtol=3e-6, atol=3e-6,
+                                   err_msg=k)
