@@ -46,6 +46,10 @@ def main():
                     help="train_step: measure the single-program fused step "
                          "instead of the split-phase default (measured ~6% "
                          "slower at the flagship config, PERF.md)")
+    ap.add_argument("--wavelet", action="store_true",
+                    help="train_step: run the ADA pipe with the reference "
+                         "sym6 wavelet-AA warp instead of the bilinear "
+                         "default (the wavelet-vs-bilinear throughput A/B)")
     ap.add_argument("--chunk", type=int, default=8,
                     help="video_throughput: frames per scanned XLA program")
     ap.add_argument("--blocks", type=int, default=3,
@@ -375,7 +379,8 @@ def bench_train_step(G, args):
                                      init_gan_state, make_gan_train_step)
     from ide3d_tpu import render
 
-    tcfg = GanTrainConfig()
+    from ide3d_tpu.train.augment import AugmentConfig
+    tcfg = GanTrainConfig(aug=AugmentConfig(wavelet_aa=args.wavelet))
     D = Discriminator(DiscriminatorConfig(
         img_resolution=G.cfg.img_resolution,
         img_channels=d_input_channels(tcfg, G.cfg),

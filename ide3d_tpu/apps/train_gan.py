@@ -37,6 +37,12 @@ def main(argv=None):
                          "memorizes a tiny dataset and rt pins above target; "
                          "TRAINING.md)")
     ap.add_argument("--no-ada", action="store_true")
+    ap.add_argument("--fixed-ada-p", type=float, default=None,
+                    help="hold ADA at this constant p instead of running the "
+                         "adaptive controller (controlled A/Bs of the "
+                         "augmentation pipe itself, e.g. wavelet vs bilinear "
+                         "warp, need both legs to see the SAME augmentation "
+                         "rate from step 0)")
     ap.add_argument("--wavelet-aa", action="store_true",
                     help="reference-parity sym6 wavelet anti-aliasing around "
                          "the ADA geometric warp (training/augment.py:172); "
@@ -167,6 +173,8 @@ def main(argv=None):
     if args.resume:
         ada_p = float(meta.get("ada_p", 0.0))
         ada = AdaState(p=jnp.asarray(ada_p), rt_accum=jnp.zeros((2,)))
+    if args.fixed_ada_p is not None:
+        ada_p = args.fixed_ada_p
     acc = StatsAccumulator()
 
     metric_names = [m.strip() for m in args.metrics.split(",") if m.strip()]
@@ -236,7 +244,7 @@ def main(argv=None):
         cur_img += args.batch
 
         acc.update({k: v for k, v in stats.items()})
-        if not args.no_ada:
+        if not args.no_ada and args.fixed_ada_p is None:
             # per-sample sign statistic computed in-jit over the global batch.
             # Buffer the DEVICE array and force it only at the controller's
             # 4-step update boundary: a per-step float() readback serializes

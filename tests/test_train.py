@@ -141,6 +141,33 @@ def test_gan_train_step_fake_reuse_false():
                                    atol=1e-5, rtol=1e-4, err_msg=k)
 
 
+def test_gan_train_step_wavelet_ada():
+    """The FULL train step with the reference sym6 wavelet-AA ADA pipe
+    (`train_gan --wavelet-aa` / `bench.py --metric train_step --wavelet`):
+    the wavelet warp is oracle-tested standalone (test_augment_editing) but the
+    in-step compilation — warp fwd + input-grads through it in the G loss AND
+    the R1 branch — is a different XLA program class (the round-2/3 in-context
+    NaN lessons, PERF.md), so pin finite stats + moving params at ada_p=0.5."""
+    from ide3d_tpu.train.augment import AugmentConfig
+
+    gcfg = tiny_gcfg()
+    tcfg = GanTrainConfig(r1_interval=1, aug=AugmentConfig(wavelet_aa=True))
+    G = Ide3dGenerator(gcfg)
+    D = Discriminator(DiscriminatorConfig(
+        img_resolution=32, img_channels=d_input_channels(tcfg, gcfg),
+        channel_base=512, channel_max=32, dtype="float32"))
+    state = init_gan_state(jax.random.PRNGKey(0), G, D, tcfg)
+    w_before = np.asarray(state.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    step = make_gan_train_step(G, D, tcfg, split=True)
+    state2, stats = step(state, make_batch(2, 32), jax.random.PRNGKey(1),
+                         jnp.asarray(0.5, jnp.float32))
+    assert int(state2.step) == 1
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    w_after = np.asarray(state2.params_g["synthesis"]["vb4"]["conv"]["weight"])
+    assert np.abs(w_after - w_before).max() > 0
+
+
 def test_gan_train_step_split_matches_fused():
     """split=True (two chained XLA programs, the production-throughput path)
     must be numerically equivalent to the fused single-program step: same
@@ -591,6 +618,8 @@ def test_train_gan_cli_smoke(tmp_path):
         "--batch", "2", "--kimg", "0.004", "--resolution", "32",
         "--preset", "tiny", "--grid-kimg", "1", "--snap-kimg", "1",
         "--metrics", "fid", "--metric-items", "4",
+        # constant-p ADA (controller bypass; the wavelet-vs-bilinear A/B mode)
+        "--fixed-ada-p", "0.3",
     ])
     assert (out / "snapshot-final").exists()
     assert any(p.name.startswith("fakes") for p in out.iterdir())
