@@ -130,7 +130,7 @@ def main():
     # measuring, so a transiently slow allocation doesn't mint an official
     # number; a persistently slow one is stamped into the result instead of
     # read as a code regression (VERDICT r3 Weak #4).
-    probe_ms, chip_state = _device_probe()
+    probe_ms, chip_state, gather_ms = _device_probe()
 
     block_medians = []
     all_rtts = []
@@ -159,6 +159,7 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
         "mxu_probe_ms": probe_ms,
+        "gather_probe_ms": gather_ms,
         "chip_state": chip_state,
     }
     print(json.dumps(result))
@@ -197,6 +198,17 @@ def _rtt_baseline():
 # documented in PERF.md — NOT a code regression.
 _MXU_PROBE_REF_MS = 47.0
 
+# Best GATHER-probe time observed on a healthy chip (ms; see _device_probe).
+# The round-4 spread run proved the two axes are independent: three fresh
+# processes all read the MXU probe "ok" (43.8-45.8 ms) while the gather-bound
+# headline frame sat 20% below its best recorded day — the frame path is
+# HBM/gather-bound, which a pure-MXU probe cannot see. This second probe is a
+# scan-amortized random flat `jnp.take` over a ~256 MB table (the renderer's
+# dominant access pattern, PERF.md per-row gather model); its deviation stamps
+# memory-path state into the result. Record-only (no retry gate) until a
+# multi-day reference band exists.
+_GATHER_PROBE_REF_MS = 2.47  # best observed 2026-08-20; stamped, not gated
+
 
 def _device_probe(retries: int = 2, gap_s: float = 30.0):
     """Chip-state probe: a scan-amortized bf16 4096^2 matmul chain (pure MXU,
@@ -233,7 +245,32 @@ def _device_probe(retries: int = 2, gap_s: float = 30.0):
             time.sleep(gap_s)
     state = "ok" if best <= _MXU_PROBE_REF_MS * 1.15 else (
         f"degraded({best / _MXU_PROBE_REF_MS:.2f}x)")
-    return round(best, 2), state
+    return round(best, 2), state, round(_gather_probe(), 2)
+
+
+def _gather_probe(rows: int = 1 << 20, width: int = 128, k: int = 32) -> float:
+    """HBM/gather-path probe (ms): scan-amortized random flat `jnp.take` over
+    a 256 MB bf16 table — the renderer's dominant access pattern. Independent
+    of the MXU probe: a healthy-MXU chip can still serve gathers slow (round-4
+    spread table, PERF.md), and the headline frame is gather-bound."""
+    idx = jax.random.randint(jax.random.PRNGKey(0), (k, rows // 4), 0, rows)
+
+    @jax.jit
+    def chain(t, idx):
+        def body(acc, ix):
+            return acc + jnp.take(t, ix, axis=0).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), idx)
+        return acc
+
+    t = jnp.ones((rows, width), jnp.bfloat16)
+    float(chain(t, idx))  # compile + warm
+    rtt = _rtt_baseline()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(t, idx))
+        samples.append(time.perf_counter() - t0)
+    return (sorted(samples)[1] - rtt) * 1e3 / k
 
 
 def bench_pose_only(G, params, args, rp):

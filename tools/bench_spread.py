@@ -59,14 +59,16 @@ def main() -> int:
     lo, hi = min(vals), max(vals)
     med = sorted(vals)[len(vals) // 2]
     spread = (hi - lo) / med * 100.0
-    print(f"\n| run | {results[0]['metric']} | chip state (MXU probe) |")
-    print("|---|---|---|")
+    print(f"\n| run | {results[0]['metric']} | chip state (MXU probe) | gather probe |")
+    print("|---|---|---|---|")
     for i, r in enumerate(results):
         probe = r.get("chip_state", "-")
         pms = r.get("mxu_probe_ms")
         if pms is not None:
             probe = f"{probe} ({pms} ms)"
-        print(f"| {i + 1} | {r['value']} {r['unit']} | {probe} |")
+        gms = r.get("gather_probe_ms")
+        gcol = f"{gms} ms" if gms is not None else "-"
+        print(f"| {i + 1} | {r['value']} {r['unit']} | {probe} | {gcol} |")
     print(f"\nmin {lo} / median {med} / max {hi} {results[0]['unit']}; "
           f"spread {spread:.1f}% (bar: <=10%)")
     return 0
