@@ -160,6 +160,7 @@ def main():
         "vs_baseline": round(fps / 30.0, 4),
         "mxu_probe_ms": probe_ms,
         "gather_probe_ms": gather_ms,
+        "gather_probe_vs_ref": round(gather_ms / _GATHER_PROBE_REF_MS, 3),
         "chip_state": chip_state,
     }
     print(json.dumps(result))
@@ -204,20 +205,29 @@ _MXU_PROBE_REF_MS = 47.0
 # headline frame sat 20% below its best recorded day — the frame path is
 # HBM/gather-bound, which a pure-MXU probe cannot see. This second probe is a
 # scan-amortized random flat `jnp.take` over a ~256 MB table (the renderer's
-# dominant access pattern, PERF.md per-row gather model); its deviation stamps
-# memory-path state into the result. Record-only (no retry gate) until a
-# multi-day reference band exists.
-_GATHER_PROBE_REF_MS = 2.47  # best observed 2026-08-20; stamped, not gated
+# dominant access pattern, PERF.md per-row gather model). Reference band:
+# multi-process samples recorded in PERF.md (gather-probe band table); gated
+# at the same 1.15x tolerance as the MXU probe since round 5.
+_GATHER_PROBE_REF_MS = 2.47
 
 
 def _device_probe(retries: int = 2, gap_s: float = 30.0):
-    """Chip-state probe: a scan-amortized bf16 4096^2 matmul chain (pure MXU,
-    one scalar readback) whose speed-of-light is fixed by the hardware, not by
-    this codebase. Distinguishes device-slow from code-slow: when the headline
-    fps lands low but this probe matches _MXU_PROBE_REF_MS, the frame path
-    regressed; when the probe is slow too, the allocation is degraded (PERF.md
-    bench-variance notes). Retries after an idle gap while degraded — the
-    post-training queue state recovers within minutes."""
+    """Chip-state probe, two independent axes:
+
+    - MXU: a scan-amortized bf16 4096^2 matmul chain (pure MXU, one scalar
+      readback) whose speed-of-light is fixed by the hardware, not by this
+      codebase.
+    - gather/HBM: a scan-amortized random flat `jnp.take` over a 256 MB table
+      (the renderer's dominant access pattern). The headline frame is
+      gather-bound (PERF.md SoL accounting), so a healthy-MXU chip can still
+      serve the frame slow — both axes must read ok before an official number
+      is minted (VERDICT r4 Weak #7).
+
+    Distinguishes device-slow from code-slow: when the headline fps lands low
+    but both probes match their reference bands, the frame path regressed;
+    when a probe is slow too, the allocation is degraded (PERF.md
+    bench-variance notes). Retries after an idle gap while EITHER axis is
+    degraded — the post-training queue state recovers within minutes."""
     n, k = 4096, 64
 
     @jax.jit
@@ -229,30 +239,44 @@ def _device_probe(retries: int = 2, gap_s: float = 30.0):
 
     a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
     float(chain(a))  # compile + warm
-    best = None
-    for attempt in range(retries + 1):
-        rtt = _rtt_baseline()
+    gather_chain, gather_args, gather_k = _make_gather_probe()
+    float(gather_chain(*gather_args))  # compile + warm
+
+    def _timed(fn, fnargs, rtt):
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(chain(a))
+            float(fn(*fnargs))
             samples.append(time.perf_counter() - t0)
-        ms = (sorted(samples)[1] - rtt) * 1e3
-        best = ms if best is None else min(best, ms)
-        if best <= _MXU_PROBE_REF_MS * 1.15:
+        return sorted(samples)[1] - rtt
+
+    best_mxu = best_gather = None
+    for attempt in range(retries + 1):
+        rtt = _rtt_baseline()
+        mxu_ms = _timed(chain, (a,), rtt) * 1e3
+        gather_ms = _timed(gather_chain, gather_args, rtt) * 1e3 / gather_k
+        best_mxu = mxu_ms if best_mxu is None else min(best_mxu, mxu_ms)
+        best_gather = (gather_ms if best_gather is None
+                       else min(best_gather, gather_ms))
+        mxu_ok = best_mxu <= _MXU_PROBE_REF_MS * 1.15
+        gather_ok = best_gather <= _GATHER_PROBE_REF_MS * 1.15
+        if mxu_ok and gather_ok:
             break
         if attempt < retries:
             time.sleep(gap_s)
-    state = "ok" if best <= _MXU_PROBE_REF_MS * 1.15 else (
-        f"degraded({best / _MXU_PROBE_REF_MS:.2f}x)")
-    return round(best, 2), state, round(_gather_probe(), 2)
+    parts = []
+    if best_mxu > _MXU_PROBE_REF_MS * 1.15:
+        parts.append(f"mxu {best_mxu / _MXU_PROBE_REF_MS:.2f}x")
+    if best_gather > _GATHER_PROBE_REF_MS * 1.15:
+        parts.append(f"gather {best_gather / _GATHER_PROBE_REF_MS:.2f}x")
+    state = "ok" if not parts else "degraded(" + ", ".join(parts) + ")"
+    return round(best_mxu, 2), state, round(best_gather, 2)
 
 
-def _gather_probe(rows: int = 1 << 20, width: int = 128, k: int = 32) -> float:
-    """HBM/gather-path probe (ms): scan-amortized random flat `jnp.take` over
-    a 256 MB bf16 table — the renderer's dominant access pattern. Independent
-    of the MXU probe: a healthy-MXU chip can still serve gathers slow (round-4
-    spread table, PERF.md), and the headline frame is gather-bound."""
+def _make_gather_probe(rows: int = 1 << 20, width: int = 128, k: int = 32):
+    """Build the HBM/gather-path probe: (jitted chain, args, amortization k).
+    Random flat `jnp.take` over a 256 MB bf16 table — the renderer's dominant
+    access pattern (PERF.md per-row gather model)."""
     idx = jax.random.randint(jax.random.PRNGKey(0), (k, rows // 4), 0, rows)
 
     @jax.jit
@@ -263,12 +287,19 @@ def _gather_probe(rows: int = 1 << 20, width: int = 128, k: int = 32) -> float:
         return acc
 
     t = jnp.ones((rows, width), jnp.bfloat16)
-    float(chain(t, idx))  # compile + warm
+    return chain, (t, idx), k
+
+
+def _gather_probe(rows: int = 1 << 20, width: int = 128, k: int = 32) -> float:
+    """One-shot gather-probe reading (ms/row-block); kept for standalone use
+    by tools/bench_spread.py and probe-band collection."""
+    chain, chain_args, k = _make_gather_probe(rows, width, k)
+    float(chain(*chain_args))  # compile + warm
     rtt = _rtt_baseline()
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(chain(t, idx))
+        float(chain(*chain_args))
         samples.append(time.perf_counter() - t0)
     return (sorted(samples)[1] - rtt) * 1e3 / k
 

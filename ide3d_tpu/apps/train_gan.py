@@ -46,9 +46,14 @@ def main(argv=None):
     ap.add_argument("--wavelet-aa", action="store_true",
                     help="reference-parity sym6 wavelet anti-aliasing around "
                          "the ADA geometric warp (training/augment.py:172); "
-                         "default is the direct bilinear warp (measured A/B "
-                         "in PERF.md)")
-    ap.add_argument("--r1-gamma", type=float, default=1.0)
+                         "default is the direct bilinear warp")
+    ap.add_argument("--r1-gamma", type=float, default=None,
+                    help="R1 penalty weight; default = the StyleGAN2-ADA "
+                         "heuristic 0.0002*resolution^2/batch (train.py gamma "
+                         "auto-config). Round-4 run A trained at 1.0 on a "
+                         "512^2/batch-4 shape whose heuristic is ~13 and "
+                         "collapsed (TRAINING.md) — don't hardcode a "
+                         "resolution-independent default.")
     ap.add_argument("--pl-weight", type=float, default=0.0,
                     help="StyleGAN2 path-length regularization weight (0 = off)")
     ap.add_argument("--resume", default=None)
@@ -117,6 +122,10 @@ def main(argv=None):
         gcfg = GeneratorConfig(img_resolution=args.resolution)
     from ..train.augment import AugmentConfig
 
+    if args.r1_gamma is None:
+        # StyleGAN2-ADA auto gamma: 0.0002 * resolution^2 / batch
+        args.r1_gamma = 0.0002 * gcfg.img_resolution ** 2 / args.batch
+        print(f"r1-gamma (auto): {args.r1_gamma:.3g}")
     tcfg = GanTrainConfig(r1_gamma=args.r1_gamma, use_ada=not args.no_ada,
                           pl_weight=args.pl_weight,
                           aug=AugmentConfig(wavelet_aa=args.wavelet_aa))
@@ -294,6 +303,16 @@ def main(argv=None):
             )
             eval_metrics(state.params_g_ema, cur_img / 1000)
             next_snap = cur_img + args.snap_kimg * 1000
+
+    if sign_buf:
+        # loop ended mid-window: flush the buffered sign statistics so the
+        # final checkpoint's ada_p reflects every step (VERDICT r4 hygiene)
+        for s in sign_buf:
+            ada = ada_accumulate(ada, float(np.asarray(s)), args.batch)
+        ada = ada_update(ada, args.batch * len(sign_buf), target=args.ada_target,
+                         speed_kimg=args.ada_speed, p_max=args.ada_pmax)
+        ada_p = float(ada.p)
+        sign_buf.clear()
 
     save_checkpoint(
         os.path.join(args.outdir, "snapshot-final"),

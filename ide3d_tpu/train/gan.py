@@ -92,8 +92,9 @@ def expand_compact_batch(batch: Dict[str, jax.Array],
     the accelerator (training_loop.py phase-data path). No-op for keys
     already in the step format, so callers can pass either layout."""
     out = dict(batch)
-    if out["img"].dtype == jnp.uint8:
-        out["img"] = out["img"].astype(jnp.float32) / 127.5 - 1.0
+    img = out.get("img")
+    if img is not None and img.dtype == jnp.uint8:
+        out["img"] = img.astype(jnp.float32) / 127.5 - 1.0
     seg = out.get("seg")
     if seg is not None and seg.dtype == jnp.uint8:
         out["seg"] = jax.nn.one_hot(seg, num_classes, dtype=jnp.float32) * 2.0 - 1.0
@@ -336,7 +337,11 @@ def make_gan_train_step(
         batch = expand_compact_batch(batch, G.cfg.seg_channels)
         _kz_g, kz_d, _kr_g, kr_d, _kr_pl, kr_r1 = jax.random.split(rng, 6)
         B = batch["img"].shape[0]
-        z_d = jax.random.normal(kz_d, (B, G.cfg.z_dim))
+        # z is only consumed when the D phase synthesizes its own fakes; with
+        # fake_reuse the G phase's stop-gradient fakes arrive via fake_triple
+        # and drawing z here would be dead compute in the compiled program.
+        z_d = (None if fake_triple is not None
+               else jax.random.normal(kz_d, (B, G.cfg.z_dim)))
         ada_p = jnp.asarray(ada_p, jnp.float32)
 
         # lazy R1: full-strength penalty every r1_interval steps (StyleGAN2

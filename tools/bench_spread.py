@@ -55,9 +55,11 @@ def main() -> int:
         results.append(rec)
         print(json.dumps(rec))
 
+    import statistics
+
     vals = [r["value"] for r in results]
     lo, hi = min(vals), max(vals)
-    med = sorted(vals)[len(vals) // 2]
+    med = statistics.median(vals)
     spread = (hi - lo) / med * 100.0
     print(f"\n| run | {results[0]['metric']} | chip state (MXU probe) | gather probe |")
     print("|---|---|---|---|")
