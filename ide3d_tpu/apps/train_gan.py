@@ -86,7 +86,7 @@ def main(argv=None):
     from ..data import CameraLabeledDataset, infinite_loader
     from ..io.checkpoint import load_checkpoint, save_checkpoint
     from ..models import Discriminator, DiscriminatorConfig, GeneratorConfig, Ide3dGenerator
-    from ..parallel import create_mesh, replicate, shard_batch
+    from ..parallel import create_mesh, prefetch_to_device, replicate
     from ..parallel.stats import StatsAccumulator
     from ..train import GanTrainConfig, init_gan_state, make_gan_train_step
     from ..train.augment import AdaState, ada_accumulate, ada_init, ada_update
@@ -146,8 +146,11 @@ def main(argv=None):
     dataset = CameraLabeledDataset(args.data, args.seg, resolution=args.resolution,
                                    xflip=True)
     # compact wire batches (uint8 img + uint8 seg indices, ~22x fewer bytes);
-    # the train step expands them on device (train/gan.py expand_compact_batch)
-    loader = infinite_loader(dataset, args.batch, seed=args.seed, compact=True)
+    # the train step expands them on device (train/gan.py expand_compact_batch).
+    # prefetch_to_device double-buffers the transfer behind the running step
+    # (the 4 MB/step wire copy was the whole loop-vs-step gap, PERF.md).
+    loader = prefetch_to_device(
+        infinite_loader(dataset, args.batch, seed=args.seed, compact=True), mesh)
 
     if args.resume:
         # restore INTO a freshly-initialized state: orbax needs the template to
@@ -239,9 +242,8 @@ def main(argv=None):
     sign_buf = []  # deferred-readback ADA sign statistics (see below)
 
     while cur_img < args.kimg * 1000:
-        batch = next(loader)
+        sbatch = next(loader)  # already device-placed by prefetch_to_device
         key, k_step = jax.random.split(key)
-        sbatch = shard_batch(mesh, batch)
         # ADA runs INSIDE the jitted step (same per-sample transform for real and
         # fake D inputs, seg warped with the RGB); ada_p is a traced scalar so
         # controller updates never recompile.

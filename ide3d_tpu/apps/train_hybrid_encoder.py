@@ -128,21 +128,24 @@ def main(argv=None):
 
         ds = CameraLabeledDataset(args.data, args.seg, resolution=R)
         # compact uint8 wire batches, expanded on device inside the jitted
-        # step (train/gan.py expand_compact_batch; ~22x fewer H2D bytes)
-        loader = infinite_loader(ds, args.batch, seed=args.seed, compact=True)
+        # step (train/gan.py expand_compact_batch; ~22x fewer H2D bytes);
+        # prefetch_to_device overlaps the transfer with the running step
+        from ..parallel import prefetch_to_device
+
+        loader = prefetch_to_device(
+            infinite_loader(ds, args.batch, seed=args.seed, compact=True), mesh)
 
     key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     start = int(np.asarray(state.step))
     for i in range(start, args.max_steps):
         if loader is not None:
-            batch = next(loader)
+            sbatch = next(loader)  # device-placed by prefetch_to_device
         else:
-            batch = {
+            sbatch = shard_batch(mesh, {
                 "c": np.broadcast_to(render.CANONICAL_POSE_25, (args.batch, 25)).copy()
-            }
+            })
         key, k = jax.random.split(key)
-        sbatch = shard_batch(mesh, batch)
         state, stats = step_fn(state, g_params, bp, sbatch, jax.device_put(
             k, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())))
 

@@ -79,3 +79,33 @@ def local_batch_size(global_batch: int, mesh: Mesh, axis: Optional[str] = None) 
     n = mesh.shape[axis] if axis is not None else mesh.devices.size
     assert global_batch % n == 0, f"batch {global_batch} not divisible by mesh axis {n}"
     return global_batch // n
+
+
+def prefetch_to_device(loader, mesh: Mesh, size: int = 2,
+                       axis: Optional[str] = None):
+    """Wrap a host batch iterator so host->device transfer overlaps the
+    running step: a daemon thread pulls batches and `shard_batch`-places them
+    `size` deep ahead of the consumer (jax.device_put is thread-safe; the
+    double-buffer replaces the reference DataLoader's pin_memory +
+    non_blocking copy). Measured motivation: the flagship training LOOP ran
+    5.06 imgs/s vs the 6.14 imgs/s device-bound step — the whole residual gap
+    was the un-overlapped 4 MB compact-batch wire transfer per step (PERF.md
+    round 4). Loader exceptions re-raise on the consumer thread."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+
+    def worker():
+        try:
+            for batch in loader:
+                q.put(shard_batch(mesh, batch, axis))
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item

