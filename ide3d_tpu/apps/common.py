@@ -129,3 +129,30 @@ def load_generator(network: str):
     if "G_ema" in params:
         params = params["G_ema"]
     return G, params
+
+
+def make_e4e_pivot_fn(G, ckpt: str, variant: str = "auto"):
+    """One-shot e4e pivot function img [B,H,W,3] in [-1,1] -> w+ [B,num_ws,512].
+
+    The reference E4ELatentCreator resizes to the e4e's 256^2 input and adds the
+    decoder latent average (e4e_latent_creator.py:14-17); the produced w+ depth
+    is the e4e DECODER's, so rows are broadcast/truncated onto this G's num_ws
+    (shared by run_pti's first-stage pivots and latent_creator's e4e leg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.e4e import load_e4e, pivot_from_image
+
+    model, params, w_avg, report = load_e4e(ckpt, variant=variant)
+    num_ws = G.num_ws
+
+    @jax.jit
+    def pivot(img):
+        x = jax.image.resize(img, (img.shape[0], 256, 256, 3), "bilinear")
+        w = pivot_from_image(model, params, w_avg, x)
+        if w.shape[1] < num_ws:
+            w = jnp.concatenate(
+                [w, jnp.repeat(w[:, -1:], num_ws - w.shape[1], axis=1)], axis=1)
+        return w[:, :num_ws]
+
+    return pivot, report

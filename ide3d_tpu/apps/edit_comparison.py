@@ -105,8 +105,14 @@ def main(argv=None):
                 continue
             ws[n] = load_pytree_npz(pnpz)["ws"]
             ck = mdir if os.path.exists(mdir) else multi
-            tuned[n] = load_checkpoint(ck, template=g_params)[0] \
-                if os.path.exists(ck) else g_params
+            if os.path.exists(ck):
+                # no template: the tuned tree is a SUPERSET of g_params
+                # (projector noise buffers merged by run_pti's _with_noise),
+                # and a plain nested dict restores fine without one
+                t = load_checkpoint(ck)[0]
+                tuned[n] = t.get("G_ema", t)
+            else:
+                tuned[n] = g_params
         methods["PTI"] = (tuned, ws)
     assert methods, "provide --pti and/or --latents"
 

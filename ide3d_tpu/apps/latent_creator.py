@@ -24,6 +24,12 @@ def main(argv=None):
     ap.add_argument("--images", required=True)
     ap.add_argument("--masks", default=None)
     ap.add_argument("--encoder", default=None)
+    ap.add_argument("--e4e", default=None,
+                    help="e4e/pSp .pt checkpoint: ONE-SHOT e4e latents "
+                         "(no projector — the reference E4ELatentCreator leg, "
+                         "inversion/scripts/latent_creators/e4e_latent_creator.py)")
+    ap.add_argument("--e4e-variant", default="auto",
+                    choices=("auto", "e4e", "gradual"))
     ap.add_argument("--steps", type=int, default=450)
     ap.add_argument("--labels", default=None)
     ap.add_argument("--outdir", required=True)
@@ -51,6 +57,13 @@ def main(argv=None):
         with open(args.labels) as f:
             labels = dict(json.load(f))
 
+    e4e_fn = None
+    if args.e4e:
+        from .common import make_e4e_pivot_fn
+
+        e4e_fn, e4e_report = make_e4e_pivot_fn(G, args.e4e, args.e4e_variant)
+        print(f"e4e: {e4e_report}")
+
     E = e_params = None
     if args.encoder:
         from ..io.checkpoint import load_checkpoint
@@ -69,6 +82,15 @@ def main(argv=None):
         target = jnp.asarray(load_image(f, R))[None]
         c = jnp.asarray(labels.get(os.path.basename(f), render.CANONICAL_POSE_25),
                         jnp.float32).reshape(1, 25)
+        if e4e_fn is not None:
+            # one-shot e4e leg (E4ELatentCreator): encode, no optimization
+            ws = e4e_fn(target)
+            out = os.path.join(args.outdir, f"{name}.npz")
+            save_pytree_npz(out, {"ws": ws, "c": c})
+            index.append([os.path.basename(f), f"{name}.npz"])
+            print(f"[{i+1}/{len(files)}] {name} (e4e one-shot)")
+            continue
+
         initial_w = None
         if E is not None and args.masks:
             mp = os.path.join(args.masks, os.path.basename(f))

@@ -94,25 +94,10 @@ def main(argv=None):
 
     e4e_fn = None
     if args.e4e:
-        from ..models.e4e import load_e4e, pivot_from_image
+        from .common import make_e4e_pivot_fn
 
-        e4e_model, e4e_params, e4e_avg, e4e_report = load_e4e(
-            args.e4e, variant=args.e4e_variant)
+        e4e_fn, e4e_report = make_e4e_pivot_fn(G, args.e4e, args.e4e_variant)
         print(f"e4e: {e4e_report}")
-        num_ws = G.num_ws
-
-        @jax.jit
-        def e4e_fn(img):
-            # e4e inversion preprocessing (e4e_latent_creator.py:14-17):
-            # 256^2, [-1, 1]
-            x = jax.image.resize(img, (img.shape[0], 256, 256, 3), "bilinear")
-            w = pivot_from_image(e4e_model, e4e_params, e4e_avg, x)
-            # row-count adapt: the e4e was trained for its decoder's w+ depth;
-            # broadcast/truncate onto this G's num_ws rows
-            if w.shape[1] < num_ws:
-                w = jnp.concatenate(
-                    [w, jnp.repeat(w[:, -1:], num_ws - w.shape[1], axis=1)], axis=1)
-            return w[:, :num_ws]
 
     e_params = E = None
     if args.encoder:

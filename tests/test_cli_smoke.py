@@ -216,3 +216,47 @@ def test_load_generator_random_presets():
     assert Gs.cfg.img_resolution == 64 and Gs.cfg.plane_resolution == 64
     Gf, _ = load_generator("random:0")
     assert Gf.cfg.img_resolution == 512
+
+
+def test_experiment_runner_cli(tiny_ckpt, tmp_path):
+    """Inversion experiment orchestration (reference
+    inversion/evaluation/experiment_setting_creator.py): one command chains the
+    PTI leg, the SG2+/e4e latent creators, and the edit comparison, with the
+    artifact layout each downstream leg consumes."""
+    import PIL.Image
+
+    torch = pytest.importorskip("torch")
+
+    from ide3d_tpu.apps.experiment_runner import main
+    from ide3d_tpu.models.e4e import E4eEncoder
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_cnn_import import make_torch_sd
+
+    sd, _ = make_torch_sd(E4eEncoder(stylegan_size=32).init(), seed=5)
+    ckpt = {"state_dict": {f"encoder.{k}": torch.from_numpy(v) * 0.25
+                           for k, v in sd.items()},
+            "latent_avg": torch.zeros(512)}
+    e4e_path = str(tmp_path / "e4e.pt")
+    torch.save(ckpt, e4e_path)
+
+    rs = np.random.RandomState(6)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    PIL.Image.fromarray(rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "face.png")
+
+    out = str(tmp_path / "exp")
+    rc = main([
+        "--network", tiny_ckpt, "--images", str(img_dir), "--outdir", out,
+        "--create-other-latents", "--compare", "--e4e", e4e_path,
+        "--projector-steps", "2", "--pti-steps", "2", "--lpips-threshold", "0",
+        "--num-steps", "4",
+    ])
+    assert not rc
+    assert any("face" in f for f in os.listdir(os.path.join(out, "pti")))
+    assert os.path.exists(os.path.join(out, "lat_sg2plus", "face.npz"))
+    assert os.path.exists(os.path.join(out, "lat_e4e", "face.npz"))
+    concat = os.listdir(os.path.join(out, "comparison", "face", "concat_images"))
+    assert "rec.jpg" in concat
