@@ -84,20 +84,20 @@ def main():
     # The shipped latency path: the frame as TWO chained XLA programs
     # (models/generator.make_two_phase_frame; ~10% faster than the fused
     # program on v5e, PERF.md round 2).
-    from ide3d_tpu.models.generator import make_two_phase_frame
+    from ide3d_tpu.models.generator import make_pipelined_frame
 
-    two_phase = make_two_phase_frame(G.synthesis, rp, return_seg=True)
-
-    @jax.jit
     def _checksum(img, seg):
-        return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
-
-    def frame(params, ws, c):
-        img, seg = two_phase(params["synthesis"], ws, c)
         # scalar checksum: forces a true device sync on readback (the axon
         # backend's block_until_ready does not reliably wait; see
-        # .claude/skills/verify/SKILL.md)
-        return img, seg, _checksum(img, seg)
+        # .claude/skills/verify/SKILL.md). Fused into the fine program's tail
+        # (epilogue=) so the frame stays TWO dispatches, not three.
+        return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+
+    two_phase = make_pipelined_frame(G.synthesis, rp, return_seg=True,
+                                     cuts=("coarse",), epilogue=_checksum)
+
+    def frame(params, ws, c):
+        return two_phase(params["synthesis"], ws, c)
 
     B = args.batch
     z = jax.random.normal(jax.random.PRNGKey(1), (B, G.cfg.z_dim))

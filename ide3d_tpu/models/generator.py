@@ -488,6 +488,7 @@ def make_pipelined_frame(
     render_params: Optional[RenderParams] = None,
     return_seg: bool = True,
     cuts: tuple = ("coarse",),
+    epilogue=None,
 ):
     """Latency-optimized free-view frame: the pipeline split into chained jitted
     XLA programs at chosen stage boundaries. XLA schedules the fused hierarchical
@@ -504,7 +505,13 @@ def make_pipelined_frame(
     configuration is numerically identical to the fused frame (pinned by
     tests/test_models.py).
 
-    Returns frame(params, ws, c) -> img | (img, seg).
+    `epilogue(frame_out) -> aux` (optional) is fused into the LAST program and
+    its result appended to the return: latency callers that need a per-frame
+    scalar (e.g. bench.py's sync checksum) would otherwise dispatch a third
+    tiny XLA program per frame — on the tunneled backend every dispatch adds
+    host/protocol overhead even though device execution pipelines.
+
+    Returns frame(params, ws, c) -> img | (img, seg) [| + epilogue aux].
     """
     import jax
 
@@ -559,15 +566,19 @@ def make_pipelined_frame(
             cur = []
     groups.append(tuple(cur))
 
-    def _group_fn(names):
+    def _group_fn(names, last):
         @jax.jit
         def g(params, ws, c, carry):
             for n in names:
                 carry = stages[n](params, ws, c, carry)
+            if last and epilogue is not None:
+                out = carry if isinstance(carry, tuple) else (carry,)
+                return out + (epilogue(*out),)
             return carry
         return g
 
-    group_fns = [_group_fn(g) for g in groups]
+    group_fns = [_group_fn(g, i == len(groups) - 1)
+                 for i, g in enumerate(groups)]
 
     def frame(params, ws, c):
         carry = None

@@ -421,6 +421,36 @@ def test_pipelined_frame_all_cuts_match_fused(tiny_G):
                                    atol=1e-5, rtol=1e-5, err_msg=str(cuts))
 
 
+def test_pipelined_frame_epilogue_fused(tiny_G):
+    """epilogue= fuses a caller reduction into the LAST program (bench.py's
+    sync checksum rides the fine program instead of a third dispatch) and
+    leaves img/seg bit-identical to the epilogue-free frame."""
+    from ide3d_tpu.models.generator import make_pipelined_frame
+
+    G, params = tiny_G
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, G.cfg.z_dim))
+    c = canonical_c(1)
+    ws = G.mapping(params["mapping"], z, c)
+    base = make_pipelined_frame(G.synthesis, G.cfg.render, return_seg=True,
+                                cuts=("coarse",))
+    img_ref, seg_ref = base(params["synthesis"], ws, c)
+
+    def checksum(img, seg):
+        return jnp.sum(img.astype(jnp.float32)) + jnp.sum(seg.astype(jnp.float32))
+
+    frame = make_pipelined_frame(G.synthesis, G.cfg.render, return_seg=True,
+                                 cuts=("coarse",), epilogue=checksum)
+    img, seg, chk = frame(params["synthesis"], ws, c)
+    assert np.isfinite(float(chk))
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img_ref))
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(seg_ref))
+    np.testing.assert_allclose(
+        float(chk),
+        float(np.asarray(img_ref, np.float32).sum()
+              + np.asarray(seg_ref, np.float32).sum()),
+        rtol=1e-5)
+
+
 def test_two_phase_frame_hybrid(tiny_G):
     """Two-phase frame carries the hybrid voxel branch too."""
     from ide3d_tpu.models.generator import make_two_phase_frame
