@@ -131,20 +131,33 @@ def main():
     # number; a persistently slow one is stamped into the result instead of
     # read as a code regression (VERDICT r3 Weak #4).
     probe_ms, chip_state, gather_ms = _device_probe()
+    # cool-down: the probes are themselves heavy chip work (a 64-deep 4096^2
+    # matmul chain + a 256 MB gather stream), and post-activity state reads
+    # 10-20% low for a while (PERF.md) — measured round 5: 39.0 fps with
+    # probes immediately before the blocks vs 43.2 with probes stubbed, same
+    # chip, minutes apart. Give the chip the same idle gap the blocks get.
+    time.sleep(args.block_gap)
 
     block_medians = []
     all_rtts = []
     for b in range(max(1, args.blocks)):
         if b > 0:
             time.sleep(args.block_gap)
-            for i in range(2):  # re-warm after the idle gap
-                float(frame(params, ws, cams[i])[2])
-        all_rtts.extend(_rtt_samples())
+        for i in range(2):  # re-warm after the idle gap
+            float(frame(params, ws, cams[i])[2])
+        # RTT samples INTERLEAVED with the frames: the tunnel RTT drifts on
+        # the minutes scale (round-5 measurement: 29-33 ms across processes a
+        # few minutes apart — a 4 ms drift moves the corrected fps of a 52 ms
+        # raw frame by ~10 fps), so a baseline taken before the block can be
+        # stale by the time the frames run. Pairing them samples the same
+        # tunnel state the frame dispatches see.
         times = []
         for i in range(args.iters):
             t0 = time.perf_counter()
             float(frame(params, ws, cams[args.warmup + i])[2])
             times.append(time.perf_counter() - t0)
+            if i % 3 == 0:
+                all_rtts.extend(_rtt_samples(1))
         block_medians.append(sorted(times)[len(times) // 2])
 
     # One POOLED RTT median across all blocks: subtracting a per-block RTT
@@ -158,6 +171,9 @@ def main():
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 4),
+        # auditable accounting: corrected = raw block median - pooled RTT
+        "raw_ms": round(min(block_medians) * 1e3, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
         "mxu_probe_ms": probe_ms,
         "gather_probe_ms": gather_ms,
         "gather_probe_vs_ref": round(gather_ms / _GATHER_PROBE_REF_MS, 3),
