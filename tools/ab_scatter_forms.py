@@ -108,6 +108,62 @@ def main():
           jax.jit(lambda c: jnp.zeros((R1, CH), jnp.bfloat16).at[idx1].add(c).sum()),
           (cot1,), args.iters, rtt)
 
+    # ---- round-5 variants: is the scatter row-count-bound, byte-bound, or
+    # unique-target-bound? (the 81 ms/pass g_phase scatter runs AFTER an XLA
+    # sort with indices_are_sorted=true — ~100 ns per TARGET row suggests a
+    # serial per-target update loop)
+    def scat_w1(cot_col):
+        z = jnp.zeros((ROWS,), jnp.float32)
+        return z.at[idx].add(cot_col).sum()
+
+    timed("scatter f32 WIDTH-1 4.72M rows", jax.jit(scat_w1),
+          (cot204_f32[:, 0],), args.iters, rtt)
+
+    uniq_idx = jnp.arange(N, dtype=jnp.int32)
+
+    def scat_unique(cot):
+        z = jnp.zeros((N, CH), jnp.bfloat16)
+        return z.at[uniq_idx].add(cot, indices_are_sorted=True,
+                                  unique_indices=True).sum()
+
+    timed("scatter bf16 UNIQUE+SORTED (N targets)", jax.jit(scat_unique),
+          (cot204_bf,), args.iters, rtt)
+
+    # gather-based segmented sum: sort once, then for each TARGET row read up
+    # to K consecutive sorted source rows starting at start[r] and mask-add.
+    # Exact when every run length <= K; the production form would fold longer
+    # runs first / residual-scatter the tail. Includes the on-device cost of
+    # computing start[r] (a width-1 min-scatter).
+    def gather_segsum(cot, K=8):
+        order = jnp.argsort(idx)
+        ids = idx[order]
+        cs = cot[order]
+        pos = jnp.arange(N, dtype=jnp.int32)
+        start = jnp.full((ROWS,), N, jnp.int32).at[ids].min(
+            pos, indices_are_sorted=True)  # first sorted position per target
+        acc = jnp.zeros((ROWS, CH), jnp.float32)
+        base = jnp.clip(start, 0, N - 1)
+        for l in range(K):
+            j = jnp.minimum(base + l, N - 1)
+            take_rows = jnp.take(cs, j, axis=0).astype(jnp.float32)
+            ok = (ids[j] == jnp.arange(ROWS)) & (start < N)
+            acc = acc + take_rows * ok[:, None]
+        return acc.astype(jnp.bfloat16).sum()
+
+    timed("sort+min-scatter+K=8 gather segsum", jax.jit(gather_segsum),
+          (cot204_bf,), args.iters, rtt)
+
+    # the width-1 min-scatter alone (the only scatter the gather form keeps)
+    def min_scatter(_):
+        order = jnp.argsort(idx)
+        ids = idx[order]
+        pos = jnp.arange(N, dtype=jnp.int32)
+        return jnp.full((ROWS,), N, jnp.int32).at[ids].min(
+            pos, indices_are_sorted=True).sum()
+
+    timed("width-1 min-scatter (start[r]) alone", jax.jit(min_scatter),
+          (cot204_bf,), args.iters, rtt)
+
 
 if __name__ == "__main__":
     main()
