@@ -166,6 +166,23 @@ def main():
     rtt = sorted(all_rtts)[len(all_rtts) // 2]
     best = max(min(block_medians) - rtt, 1e-6)
     fps = B / best
+
+    # Estimator-free cross-check: depth-2 pipelined throughput — every frame's
+    # checksum is forced (one frame late), so device work cannot be skipped,
+    # while the tunnel RTT overlaps the in-flight frame and drops out of the
+    # steady state. No RTT subtraction, no estimator noise (PERF.md round-5
+    # measurement correction: flat for depth>=2).
+    pend = []
+    n_sus = min(args.iters, 24)
+    t0 = time.perf_counter()
+    for i in range(n_sus):
+        pend.append(frame(params, ws, cams[i % len(cams)])[2])
+        if len(pend) > 1:
+            float(pend.pop(0))
+    for pchk in pend:
+        float(pchk)
+    sustained = B * n_sus / (time.perf_counter() - t0)
+
     result = {
         "metric": "free_view_512_rgb_seg_fps",
         "value": round(fps, 3),
@@ -174,6 +191,7 @@ def main():
         # auditable accounting: corrected = raw block median - pooled RTT
         "raw_ms": round(min(block_medians) * 1e3, 2),
         "rtt_ms": round(rtt * 1e3, 2),
+        "sustained_fps": round(sustained, 3),
         "mxu_probe_ms": probe_ms,
         "gather_probe_ms": gather_ms,
         "gather_probe_vs_ref": round(gather_ms / _GATHER_PROBE_REF_MS, 3),
@@ -207,6 +225,23 @@ def _rtt_samples(n: int = 10):
 def _rtt_baseline():
     rtts = _rtt_samples()
     return sorted(rtts)[len(rtts) // 2]
+
+
+def _interleaved_median(run_fn, iters):
+    """Per-iteration timing with RTT samples INTERLEAVED into the loop (every
+    3rd iteration); returns (median_raw_s, pooled_rtt_median_s). Round-5
+    protocol: an RTT baseline taken before the loop can be stale by the time
+    the measured dispatches run — the tunnel RTT drifts several ms on the
+    minutes scale, which at short metrics dominates the corrected value
+    (PERF.md 'Round 5: measurement correction')."""
+    times, rtts = [], []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        run_fn(i)
+        times.append(time.perf_counter() - t0)
+        if i % 3 == 0:
+            rtts.extend(_rtt_samples(1))
+    return sorted(times)[len(times) // 2], sorted(rtts)[len(rtts) // 2]
 
 
 # Best MXU-probe time observed on a healthy chip (ms; see _device_probe).
@@ -373,17 +408,14 @@ def bench_pose_only(G, params, args, rp):
 
     for i in range(args.warmup):
         frame(i)
-    rtt = _rtt_baseline()
-    times = []
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        frame(args.warmup + i)
-        times.append(time.perf_counter() - t0)
-    median = max(sorted(times)[len(times) // 2] - rtt, 1e-6)
+    raw, rtt = _interleaved_median(lambda i: frame(args.warmup + i), args.iters)
+    median = max(raw - rtt, 1e-6)
     result = {
         "metric": "pose_only_512_rgb_seg_fps",
         "value": round(1.0 / median, 3),
         "unit": "fps",
+        "raw_ms": round(raw * 1e3, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
         "vs_baseline": round(1.0 / median / 30.0, 4),
     }
     print(json.dumps(result))
@@ -574,17 +606,20 @@ def bench_edit_loop(G, params, args, stroke=False):
     prev = jnp.zeros((1, R, R, 3), jnp.float32)
     for i in range(args.warmup):
         w, prev = run(i, w, prev)
-    rtt = _rtt_baseline()
-    times = []
-    for i in range(args.iters):
-        t0 = time.perf_counter()
-        w, prev = run(args.warmup + i, w, prev)
-        times.append(time.perf_counter() - t0)
-    median_ms = max((sorted(times)[len(times) // 2] - rtt) * 1000.0, 1e-3)
+
+    state = {"w": w, "prev": prev}
+
+    def _one(i):
+        state["w"], state["prev"] = run(args.warmup + i, state["w"], state["prev"])
+
+    raw, rtt = _interleaved_median(_one, args.iters)
+    median_ms = max((raw - rtt) * 1000.0, 1e-3)
     result = {
         "metric": "painter_edit_stroke_ms" if stroke else "painter_edit_loop_ms",
         "value": round(median_ms, 3),
         "unit": "ms",
+        "raw_ms": round(raw * 1e3, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
         # north star: real-time interaction; 33.3 ms (30 edits/s) as the bar
         "vs_baseline": round(33.333 / median_ms, 4),
     }
