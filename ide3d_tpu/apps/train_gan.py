@@ -184,7 +184,7 @@ def main(argv=None):
     ada_p = 0.0
     if args.resume:
         ada_p = float(meta.get("ada_p", 0.0))
-        ada = AdaState(p=jnp.asarray(ada_p), rt_accum=jnp.zeros((2,)))
+        ada = AdaState(p=float(ada_p), rt_accum=(0.0, 0.0))
     if args.fixed_ada_p is not None:
         ada_p = args.fixed_ada_p
     acc = StatsAccumulator()

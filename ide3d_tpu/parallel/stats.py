@@ -12,6 +12,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def psum_dict(stats: Dict[str, jax.Array], axis_name: str) -> Dict[str, jax.Array]:
@@ -27,42 +28,68 @@ def scalar_moments(x: jax.Array) -> jax.Array:
     return jnp.stack([jnp.asarray(x.size, jnp.float32), x.sum(), jnp.square(x).sum()])
 
 
+def _promote_triples(stats):
+    """Scalars -> (count, sum, sumsq) triples; pass triples through. Traced."""
+    out = {}
+    for name, t in stats.items():
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.stack([jnp.ones((), jnp.float32), t.astype(jnp.float32),
+                           jnp.square(t).astype(jnp.float32)])
+        out[name] = t
+    return out
+
+
+@jax.jit
+def _acc_init(stats):
+    return _promote_triples(stats)
+
+
+@jax.jit
+def _acc_merge(acc, stats):
+    p = _promote_triples(stats)
+    return {**acc, **{k: (acc[k] + p[k]) if k in acc else p[k] for k in p}}
+
+
 class StatsAccumulator:
     """Host-side collector (the reference's Collector, training_stats.py:113).
 
     Accumulates (count, sum, sumsq) triples returned from jitted steps and exposes
     mean/std. Values arriving from a sharded step have already been psum-reduced.
+
+    The per-step accumulation is ONE jitted program (`_acc_merge`): the original
+    eager form issued ~4 tiny device ops per stat per step (~30 dispatches/step
+    at the flagship config), which on a tunneled backend was a measurable slice
+    of the training-loop vs device-step gap (PERF.md round 5). Nothing is read
+    back until `mean()`/`std()`/`as_dict()`.
     """
 
     def __init__(self):
-        self._acc: Dict[str, jnp.ndarray] = {}
+        self._acc: Optional[Dict[str, jnp.ndarray]] = None
 
     def update(self, stats: Dict[str, jax.Array]):
-        for name, triple in stats.items():
-            t = jnp.asarray(triple)
-            if t.ndim == 0:  # plain scalar -> promote
-                t = jnp.stack([jnp.ones((), jnp.float32), t.astype(jnp.float32),
-                               jnp.square(t).astype(jnp.float32)])
-            if name in self._acc:
-                self._acc[name] = self._acc[name] + t
-            else:
-                self._acc[name] = t
+        if self._acc is None:
+            self._acc = _acc_init(dict(stats))
+        else:
+            # union merge (a new key, e.g. a lazy regularizer's stat, retraces
+            # at most once per distinct key set)
+            self._acc = _acc_merge(self._acc, dict(stats))
 
     def mean(self, name: str) -> float:
-        c, s, _ = [float(v) for v in self._acc[name]]
+        c, s, _ = [float(v) for v in np.asarray(self._acc[name])]
         return s / max(c, 1.0)
 
     def std(self, name: str) -> float:
         import math
 
-        c, s, ss = [float(v) for v in self._acc[name]]
+        c, s, ss = [float(v) for v in np.asarray(self._acc[name])]
         if c < 1:
             return 0.0
         m = s / c
         return math.sqrt(max(ss / c - m * m, 0.0))
 
     def as_dict(self) -> Dict[str, float]:
-        return {k: self.mean(k) for k in self._acc}
+        return {k: self.mean(k) for k in (self._acc or {})}
 
     def reset(self):
-        self._acc.clear()
+        self._acc = None

@@ -376,14 +376,20 @@ def augment_d_input(
 class AdaState(NamedTuple):
     """Adaptive-p controller state (the reference trains this outside the pipe;
     heuristic: rt = E[sign(D(real))] targeted at `target`, p nudged by
-    batch/(kimg*1000) per step)."""
+    batch/(kimg*1000) per step).
 
-    p: jax.Array  # scalar
-    rt_accum: jax.Array  # (sum_sign, count)
+    Pure HOST state (Python floats): the controller is training-loop control
+    flow, and the original jnp-array form cost a handful of eager tunneled
+    device dispatches per update boundary for trivial arithmetic (PERF.md
+    round 5 loop-vs-step accounting). Device arrays are accepted and coerced.
+    """
+
+    p: float  # scalar
+    rt_accum: tuple  # (sum_sign, count)
 
 
 def ada_init() -> AdaState:
-    return AdaState(p=jnp.zeros(()), rt_accum=jnp.zeros((2,)))
+    return AdaState(p=0.0, rt_accum=(0.0, 0.0))
 
 
 def ada_accumulate(state: AdaState, sign_mean, n) -> AdaState:
@@ -395,8 +401,9 @@ def ada_accumulate(state: AdaState, sign_mean, n) -> AdaState:
     the VERDICT flagged; reference semantics: stylegan2-ada 'ada_target' loop).
     n: number of samples the mean covers.
     """
-    s = jnp.stack([jnp.asarray(sign_mean, jnp.float32) * n, jnp.asarray(n, jnp.float32)])
-    return state._replace(rt_accum=state.rt_accum + s)
+    a = np.asarray(state.rt_accum, np.float64)
+    return state._replace(
+        rt_accum=(float(a[0]) + float(sign_mean) * n, float(a[1]) + float(n)))
 
 
 def ada_update(state: AdaState, batch_size: int, target: float = 0.6,
@@ -406,7 +413,9 @@ def ada_update(state: AdaState, batch_size: int, target: float = 0.6,
     eventually collapsing G (measured: FID 82->127 as p passed ~0.6 on a
     1k-image run, TRAINING.md). Capping p bounds the leak while keeping the
     adaptive behavior below the cap."""
-    rt = state.rt_accum[0] / jnp.maximum(state.rt_accum[1], 1.0)
-    adjust = jnp.sign(rt - target) * batch_size / (speed_kimg * 1000.0)
-    p = jnp.clip(state.p + adjust, 0.0, p_max)
-    return AdaState(p=p, rt_accum=jnp.zeros((2,)))
+    a = np.asarray(state.rt_accum, np.float64)
+    rt = float(a[0]) / max(float(a[1]), 1.0)
+    sgn = (rt > target) - (rt < target)  # matches jnp.sign incl. the 0 case
+    adjust = sgn * batch_size / (speed_kimg * 1000.0)
+    p = min(max(float(state.p) + adjust, 0.0), p_max)
+    return AdaState(p=p, rt_accum=(0.0, 0.0))
