@@ -54,6 +54,12 @@ def grid_sample_2d(
     # TPU note: a batched gather (take_along_axis over [B, HW, C]) lowers ~6x
     # slower than a flat row gather (jnp.take) — measured 22 vs 144 GB/s on v5e.
     # Fold the batch index into a single flat index space instead.
+    # All takes in this module pass mode="clip": indices are clipped in-bounds
+    # by construction (out-of-range coords are handled by the separate
+    # valid/inside masks), while the DEFAULT 'fill' mode emits a compare +
+    # select over the full gathered tensor — measured 1.84 ms/pass on the
+    # [1.18M, 204] render gathers, ~7% of the whole frame (round-5 device
+    # trace). clip's index clamp is on the narrow s32 index vector instead.
     flat = image.reshape(B * H * W, C)
     N = coords.shape[1]
     base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
@@ -63,7 +69,7 @@ def grid_sample_2d(
         xc = jnp.clip(xi, 0, W - 1)
         yc = jnp.clip(yi, 0, H - 1)
         idx = base + yc * W + xc  # [B, N]
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, C)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(B, N, C)
         return vals * valid[..., None].astype(image.dtype)
 
     v00 = corner(x0i, y0i)
@@ -150,7 +156,7 @@ def grid_sample_2d_quad(
 
     flat = quad.reshape(B * Hp * Wp, 4 * C)
     base = (jnp.arange(B, dtype=jnp.int32) * (Hp * Wp))[:, None]
-    rows = jnp.take(flat, (base + idx).reshape(-1), axis=0).reshape(B, N, 4 * C)
+    rows = jnp.take(flat, (base + idx).reshape(-1), axis=0, mode="clip").reshape(B, N, 4 * C)
     return _quad_epilogue(rows[None], wx[None], wy[None], inside[None],
                           sum_planes=False)
 
@@ -186,7 +192,7 @@ def grid_sample_3d(
         yc = jnp.clip(yi, 0, H - 1)
         zc = jnp.clip(zi, 0, D - 1)
         idx = base + (zc * H + yc) * W + xc
-        vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(B, N, C)
+        vals = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(B, N, C)
         return vals * valid[..., None].astype(volume.dtype)
 
     c000 = corner(x0i, y0i, z0i)
@@ -301,7 +307,7 @@ def _fused_table_sampler(B: int, R: int, P: int, N: int, C4: int,
     def f(flat_b, idx, wx, wy, inside):
         outs = []
         for b in range(B):
-            rows = jnp.take(flat_b[b], idx[:, b].reshape(-1), axis=0).reshape(
+            rows = jnp.take(flat_b[b], idx[:, b].reshape(-1), axis=0, mode="clip").reshape(
                 P, N, C4
             )
             outs.append(
@@ -428,7 +434,7 @@ def sample_from_quad_table(coords: jax.Array, quad: jax.Array,
     # instead of the wide rows — no change (XLA fuses the mask either way).
     flat = quad.reshape(B * 3 * H1 * W1, C4)
     img_base = (jnp.arange(B, dtype=jnp.int32) * (3 * H1 * W1))[None, :, None]
-    rows = jnp.take(flat, (idx + img_base).reshape(-1), axis=0).reshape(
+    rows = jnp.take(flat, (idx + img_base).reshape(-1), axis=0, mode="clip").reshape(
         3, B, N, C4
     )
     return _quad_epilogue(rows, wx, wy, inside, sum_planes=True)
