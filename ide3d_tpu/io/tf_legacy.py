@@ -125,14 +125,27 @@ def convert_tf_generator_sd(tf_G) -> Tuple[Dict[str, np.ndarray], dict]:
         kwarg(ignored)
     if unknown():
         raise ValueError(f"Unknown TensorFlow kwarg {unknown()[0]}")
-    if kwarg("architecture", "skip") not in (None, "skip"):
-        raise NotImplementedError("only skip-architecture TF generators convert")
+    arch = kwarg("architecture", "skip") or "skip"
+    if arch not in ("skip", "orig"):
+        raise NotImplementedError(
+            f"unsupported TF generator architecture {arch!r}")
 
     p = collect_tf_params(tf_G)
-    if any(re.fullmatch(r"ToRGB_lod(\d+)/(.*)", n) for n in p):
-        raise NotImplementedError(
-            "progressive-era ToRGB_lod checkpoints ('orig' architecture, "
-            "legacy.py:196-200) are not supported")
+    # Progressive-era checkpoints name their growing outputs ToRGB_lodN;
+    # lod n renders at resolution/2^n, so lod0 is the full-resolution head.
+    # Remap into the modern per-resolution name and switch to the 'orig'
+    # architecture (one final ToRGB, no skips) — legacy.py:195-200 intent.
+    # NOTE the reference's own branch is vestigial: it fullmatches the names
+    # WITHOUT a 'synthesis/' prefix but every later lookup requires one, so
+    # neither component layout can actually convert there. Both layouts are
+    # handled here.
+    for name in list(p):
+        m = re.fullmatch(r"(?:synthesis/)?ToRGB_lod(\d+)/(.*)", name)
+        if m:
+            r = kwargs["img_resolution"] // (2 ** int(m.group(1)))
+            p[f"synthesis/{r}x{r}/ToRGB/{m.group(2)}"] = p[name]
+            arch = "orig"
+    kwargs["architecture"] = arch
 
     sd: Dict[str, np.ndarray] = {}
 
@@ -169,17 +182,24 @@ def convert_tf_generator_sd(tf_G) -> Tuple[Dict[str, np.ndarray], dict]:
         put(f"{dst}.affine.weight", p[f"{src}/mod_weight"].T)
         put(f"{dst}.affine.bias", p[f"{src}/mod_bias"] + 1)
 
+    R = kwargs["img_resolution"]
+    orig = arch == "orig"
     put("synthesis.b4.const", p["synthesis/4x4/Const/const"][0])
     put_layer("synthesis.b4.conv1", "synthesis/4x4/Conv", 0)
-    put_torgb("synthesis.b4.torgb", "synthesis/4x4/ToRGB")
+    if not orig or R == 4:
+        put_torgb("synthesis.b4.torgb", "synthesis/4x4/ToRGB")
     res = 8
-    while res <= kwargs["img_resolution"]:
+    while res <= R:
         n = int(np.log2(res))
         put_layer(f"synthesis.b{res}.conv0", f"synthesis/{res}x{res}/Conv0_up",
                   2 * n - 5, flip=True)
         put_layer(f"synthesis.b{res}.conv1", f"synthesis/{res}x{res}/Conv1",
                   2 * n - 4)
-        put_torgb(f"synthesis.b{res}.torgb", f"synthesis/{res}x{res}/ToRGB")
+        # 'orig': the module holds ONE ToRGB, on the final block; lower-lod
+        # heads in the checkpoint are progressive-growing leftovers the torch
+        # module likewise drops (_populate only reads module-held params)
+        if not orig or res == R:
+            put_torgb(f"synthesis.b{res}.torgb", f"synthesis/{res}x{res}/ToRGB")
         if f"synthesis/{res}x{res}/Skip/weight" in p:
             put(f"synthesis.b{res}.skip.weight",
                 conv_w(p[f"synthesis/{res}x{res}/Skip/weight"], flip=True))
@@ -211,10 +231,17 @@ def convert_tf_discriminator_sd(tf_D) -> Tuple[Dict[str, np.ndarray], dict]:
         raise ValueError(f"Unknown TensorFlow kwarg {unknown()[0]}")
 
     p = collect_tf_params(tf_D)
-    if any(re.fullmatch(r"FromRGB_lod(\d+)/(.*)", n) for n in p):
+    if any(re.fullmatch(r"(?:.*/)?FromRGB_lod(\d+)/(.*)", n) for n in p):
+        # G-side ToRGB_lod checkpoints DO convert (architecture='orig',
+        # convert_tf_generator_sd) — that covers rendering from Gs, the use
+        # case legacy imports exist for. Hosting an 'orig' D would mean a
+        # skip-less architecture variant of the production dual-branch D for
+        # a D nobody fine-tunes from; the reference's own FromRGB_lod branch
+        # (legacy.py:294-299) is vestigial (prefix mismatch, see the G-side
+        # note), so there is no working behavior to be at parity with.
         raise NotImplementedError(
-            "progressive-era FromRGB_lod checkpoints ('orig' architecture) "
-            "are not supported")
+            "progressive-era FromRGB_lod DISCRIMINATORS are not hosted "
+            "(the paired generator converts; see convert_tf_generator_sd)")
 
     sd: Dict[str, np.ndarray] = {}
 

@@ -47,6 +47,12 @@ class StyleGan2Config:
     # becomes a single bf16 switch on TPU: fp16 block-splitting is a CUDA
     # memory tactic, not a numerics contract)
     dtype: str = "float32"
+    # 'skip' (StyleGAN2 default: per-resolution ToRGB summed into an upsampled
+    # running image) or 'orig' (progressive-era: ONE ToRGB on the final block;
+    # what TF ToRGB_lod checkpoints convert into, legacy.py:196-200 — torch
+    # SynthesisBlock architecture='orig' semantics: intermediate blocks emit
+    # no image and hold no skip/torgb weights)
+    architecture: str = "skip"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,18 +107,28 @@ class StyleGan2Generator:
             dtype=self.cfg.dtype,
         )
 
+    def _final_torgb(self):
+        return ToRGBLayer(self._channels(self.cfg.img_resolution),
+                          self.cfg.img_channels, self.cfg.w_dim,
+                          conv_clamp=self.cfg.conv_clamp)
+
     def init(self, key: jax.Array) -> dict:
         km, kc, k1, k2, *kb = jax.random.split(key, 4 + len(self.block_resolutions))
         conv1, torgb = self._b4_layers()
-        synthesis = {
-            "b4": {
-                "const": jax.random.normal(kc, (4, 4, self._channels(4)), jnp.float32),
-                "conv1": conv1.init(k1),
-                "torgb": torgb.init(k2),
-            }
+        orig = self.cfg.architecture == "orig"
+        last_res = self.block_resolutions[-1]
+        b4 = {
+            "const": jax.random.normal(kc, (4, 4, self._channels(4)), jnp.float32),
+            "conv1": conv1.init(k1),
         }
+        if not orig or last_res == 4:
+            b4["torgb"] = torgb.init(k2)
+        synthesis = {"b4": b4}
         for res, k in zip(self.block_resolutions[1:], kb):
-            synthesis[f"b{res}"] = self._block(res).init(k)
+            bp = self._block(res).init(k)
+            if orig and res != last_res:
+                bp.pop("torgb", None)
+            synthesis[f"b{res}"] = bp
         return {"mapping": self._mapping().init(km), "synthesis": synthesis}
 
     def mapping(self, params, z, c=None, truncation_psi: float = 1.0,
@@ -137,6 +153,27 @@ class StyleGan2Generator:
             rng, nk = jax.random.split(rng)
         x = conv1(p["b4"]["conv1"], x.astype(dtype), ws[:, 0], noise_mode=noise_mode,
                   noise_key=nk)
+        if self.cfg.architecture == "orig":
+            # progressive-era semantics: conv stacks only; ONE ToRGB at the end
+            # (torch SynthesisBlock architecture='orig': is_last emits the
+            # image, intermediate blocks return img=None)
+            w_i = 1
+            for res in self.block_resolutions[1:]:
+                nk0 = nk1 = None
+                if noise_mode == "random":
+                    rng, nk0 = jax.random.split(rng)
+                    rng, nk1 = jax.random.split(rng)
+                conv0, conv1u, _ = self._block(res)._layers()
+                bp = p[f"b{res}"]
+                x = conv0(bp["conv0"], x.astype(dtype), ws[:, w_i],
+                          noise_mode=noise_mode, noise_key=nk0)
+                x = conv1u(bp["conv1"], x, ws[:, w_i + 1],
+                           noise_mode=noise_mode, noise_key=nk1)
+                w_i += 2
+            last = self.block_resolutions[-1]
+            tp = p["b4"]["torgb"] if last == 4 else p[f"b{last}"]["torgb"]
+            final_torgb = torgb if last == 4 else self._final_torgb()
+            return final_torgb(tp, x, ws[:, w_i]).astype(jnp.float32)
         img = torgb(p["b4"]["torgb"], x, ws[:, 1]).astype(jnp.float32)
         w_i = 1  # torgb row w is shared with the next conv0 (StyleGAN2 row plan)
         for res in self.block_resolutions[1:]:

@@ -215,3 +215,94 @@ def test_version_too_low_rejected(tmp_path, tiny_nets):
 def test_non_tf_payload_not_detected():
     assert not tf_legacy.is_tf_legacy_payload({"G_ema": {}})
     assert not tf_legacy.is_tf_legacy_payload((1, 2, 3))
+
+
+@pytest.mark.parametrize("prefix", ["", "synthesis/"])
+def test_progressive_orig_generator_converts(tmp_path, prefix):
+    """Progressive-era ToRGB_lod checkpoints convert into the 'orig'
+    architecture (one final ToRGB, no skips) — the legacy.py:195-200 INTENT
+    (the reference's own branch is vestigial: its fullmatch expects unprefixed
+    names while its lookups require 'synthesis/'-prefixed ones). Both variable
+    layouts are accepted here; lower-lod growing leftovers are dropped exactly
+    as the torch module would drop them."""
+    cfg = StyleGan2Config(
+        z_dim=W, c_dim=0, w_dim=W, img_resolution=RES, img_channels=3,
+        channel_base=256, channel_max=32, mapping_num_layers=2,
+        conv_clamp=None, architecture="orig")
+    G = StyleGan2Generator(cfg)
+    g_params = _np(jax.jit(G.init)(jax.random.PRNGKey(9)))
+    g_params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.arange(a.size, dtype=np.float32).reshape(a.shape),
+        g_params)
+
+    # inverse-map: convs as usual, the single final ToRGB under its
+    # progressive name ToRGB_lod0 (+ a fake lod1 leftover head)
+    v = {}
+    m = g_params["mapping"]
+    v["dlatent_avg"] = m["w_avg"]
+    for i in range(cfg.mapping_num_layers):
+        v[f"mapping/Dense{i}/weight"] = m[f"fc{i}"]["weight"]
+        v[f"mapping/Dense{i}/bias"] = m[f"fc{i}"]["bias"]
+    s = g_params["synthesis"]
+    v["synthesis/4x4/Const/const"] = s["b4"]["const"].transpose(2, 0, 1)[None]
+
+    def put_layer(tf_name, lp, noise_idx, flip=False):
+        w = lp["weight"]
+        v[f"{tf_name}/weight"] = w[::-1, ::-1] if flip else w
+        v[f"{tf_name}/bias"] = lp["bias"]
+        if "noise_const" in lp:
+            v[f"synthesis/noise{noise_idx}"] = lp["noise_const"][None, None]
+            v[f"{tf_name}/noise_strength"] = lp["noise_strength"]
+        v[f"{tf_name}/mod_weight"] = lp["affine"]["weight"]
+        v[f"{tf_name}/mod_bias"] = lp["affine"]["bias"] - 1
+
+    put_layer("synthesis/4x4/Conv", s["b4"]["conv1"], 0)
+    res = 8
+    while res <= RES:
+        n = int(np.log2(res))
+        put_layer(f"synthesis/{res}x{res}/Conv0_up", s[f"b{res}"]["conv0"],
+                  2 * n - 5, flip=True)
+        put_layer(f"synthesis/{res}x{res}/Conv1", s[f"b{res}"]["conv1"], 2 * n - 4)
+        res *= 2
+    tr = s[f"b{RES}"]["torgb"]
+    v[f"{prefix}ToRGB_lod0/weight"] = tr["weight"]
+    v[f"{prefix}ToRGB_lod0/bias"] = tr["bias"]
+    v[f"{prefix}ToRGB_lod0/mod_weight"] = tr["affine"]["weight"]
+    v[f"{prefix}ToRGB_lod0/mod_bias"] = tr["affine"]["bias"] - 1
+    # growing leftover at lod1 (half res) — must be DROPPED, not imported
+    ch_half = min(256 // (RES // 2), 32)
+    v[f"{prefix}ToRGB_lod1/weight"] = np.ones((1, 1, ch_half, 3), np.float32)
+    v[f"{prefix}ToRGB_lod1/bias"] = np.zeros((3,), np.float32)
+    v[f"{prefix}ToRGB_lod1/mod_weight"] = np.ones((W, ch_half), np.float32)
+    v[f"{prefix}ToRGB_lod1/mod_bias"] = np.zeros((ch_half,), np.float32)
+
+    Network = _install_tflib_shim()
+    try:
+        g_static = dict(latent_size=W, dlatent_size=W, label_size=0,
+                        resolution=RES, num_channels=3, fmap_base=128,
+                        fmap_max=32, mapping_layers=2)
+        tf_g = Network(version=5, name="t", static_kwargs=g_static,
+                       components={}, variables=sorted(v.items()))
+        sd, kw = tf_legacy.convert_tf_generator_sd(tf_g)
+        assert kw["architecture"] == "orig"
+        G2, gp2, rep = tf_legacy.import_tf_generator(tf_g)
+    finally:
+        for k in ("dnnlib.tflib.network", "dnnlib.tflib", "dnnlib"):
+            del sys.modules[k]
+
+    assert G2.cfg.architecture == "orig"
+    # exact round trip of every hosted param (incl. the single final torgb;
+    # no torgb rows exist on intermediate blocks or b4 in the 'orig' tree)
+    assert "torgb" not in gp2["synthesis"]["b4"]
+    assert "torgb" not in gp2["synthesis"]["b8"]
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(g_params):
+        got = _np(gp2)
+        for k in kp:
+            got = got[k.key]
+        np.testing.assert_array_equal(leaf, got, err_msg=jax.tree_util.keystr(kp))
+    # forward runs and matches the source network exactly
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, W))
+    img_src = jax.jit(lambda p, z: G(p, z))(g_params, z)
+    img = jax.jit(lambda p, z: G2(p, z))(gp2, z)
+    assert img.shape == (2, RES, RES, 3)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img_src))
